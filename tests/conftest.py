@@ -1,0 +1,19 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+This is the TPU-native analogue of a "fake backend": multi-chip sharding logic
+is validated on host CPU with ``--xla_force_host_platform_device_count=8``
+(SURVEY.md §4).  Must run before the first ``import jax`` anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
