@@ -1,0 +1,544 @@
+"""KGE model zoo with OpenKE scoring semantics, as flax modules.
+
+Each model scores batches of (head, tail, relation) id triples.  Conventions
+(matching the reference ``OpenKE/openke/module/model/*``):
+
+- ``__call__(h, t, r)`` returns the *training* score used by the sampling
+  strategies — distance-like (lower = more plausible) for the translational
+  family, similarity-like (higher = better) for the bilinear family.  This is
+  OpenKE's ``forward`` with ``mode='normal'``; the ``head_batch``/``tail_batch``
+  reshape modes exist there only to reuse one flattened buffer and are
+  unnecessary here — ids broadcast instead.
+- ``rank_scores(h, t, r)`` returns scores where **lower is always better**,
+  the convention the link-prediction ranker consumes (reference
+  ``Test.h:testHead`` counts ``value < minimal``).  For the bilinear family it
+  is the negated similarity, mirroring each OpenKE ``predict``.  Two upstream
+  sign slips are fixed (and documented): OpenKE negates the already
+  distance-like ``forward`` of RESCAL and Analogy in ``predict``, which would
+  invert their rankings; we rank both by ``forward`` directly.
+- ``regularization(h, t, r)`` mirrors each model's ``regularization(data)``.
+
+All ids may have arbitrary leading shape; embeddings are gathered and the score
+keeps the leading shape.  Initializers match torch defaults used upstream
+(``nn.init.xavier_uniform_`` on the full embedding tables, or the
+margin/epsilon uniform range).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def xavier_uniform_embedding(num: int, dim: int):
+    """torch ``nn.init.xavier_uniform_`` on an ``[num, dim]`` table."""
+
+    limit = math.sqrt(6.0 / (num + dim))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+def uniform_embedding(limit: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+def _l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
+    """torch ``F.normalize(p=2)``: divide by max(norm, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def _p_norm(x: Array, p: int, axis: int = -1) -> Array:
+    if p == 1:
+        return jnp.sum(jnp.abs(x), axis=axis)
+    if p == 2:
+        return jnp.sqrt(jnp.sum(x * x, axis=axis) + 1e-30)
+    return jnp.sum(jnp.abs(x) ** p, axis=axis) ** (1.0 / p)
+
+
+def _mean_sq(*tensors: Array) -> Array:
+    return sum(jnp.mean(t**2) for t in tensors) / len(tensors)
+
+
+class KGEModel(nn.Module):
+    """Base: entity/relation totals plus the shared rank-score plumbing."""
+
+    ent_tot: int
+    rel_tot: int
+
+    # -- overridden by subclasses ------------------------------------------
+    def score(self, h: Array, t: Array, r: Array) -> Array:  # pragma: no cover
+        raise NotImplementedError
+
+    LOWER_IS_BETTER = True  # translational default; bilinear models override
+
+    def __call__(self, h: Array, t: Array, r: Array) -> Array:
+        return self.score(h, t, r)
+
+    def rank_scores(self, h: Array, t: Array, r: Array) -> Array:
+        s = self.score(h, t, r)
+        return s if self.LOWER_IS_BETTER else -s
+
+    def regularization(self, h: Array, t: Array, r: Array) -> Array:
+        raise NotImplementedError
+
+
+class TransE(KGEModel):
+    """``||h + r - t||_p`` with optional L2 normalization (OpenKE TransE)."""
+
+    dim: int = 100
+    p_norm: int = 1
+    norm_flag: bool = True
+    margin: Optional[float] = None
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim)
+        )
+        self.rel_embeddings = nn.Embed(
+            self.rel_tot, self.dim, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim)
+        )
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        re = self.rel_embeddings(r)
+        if self.norm_flag:
+            he, te, re = _l2_normalize(he), _l2_normalize(te), _l2_normalize(re)
+        dist = _p_norm(he + re - te, self.p_norm)
+        if self.margin is not None:
+            return self.margin - dist
+        return dist
+
+    def rank_scores(self, h, t, r):
+        s = self.score(h, t, r)
+        return self.margin - s if self.margin is not None else s
+
+    def regularization(self, h, t, r):
+        return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
+
+
+class TransH(KGEModel):
+    """TransE on a per-relation hyperplane: ``e - (e.w_r) w_r`` projection.
+
+    Matches the reference's standalone head copy (``heads/TransH/TransH.py``)
+    and OpenKE TransH: the hyperplane normal is L2-normalized, entities are
+    projected *before* the optional score normalization.
+    """
+
+    dim: int = 100
+    p_norm: int = 1
+    norm_flag: bool = True
+    margin: Optional[float] = None
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim)
+        )
+        self.rel_embeddings = nn.Embed(
+            self.rel_tot, self.dim, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim)
+        )
+        self.norm_vector = nn.Embed(
+            self.rel_tot, self.dim, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim)
+        )
+
+    @staticmethod
+    def _transfer(e: Array, w: Array) -> Array:
+        w = _l2_normalize(w)
+        return e - jnp.sum(e * w, axis=-1, keepdims=True) * w
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        re = self.rel_embeddings(r)
+        w = self.norm_vector(r)
+        hp = self._transfer(he, w)
+        tp = self._transfer(te, w)
+        if self.norm_flag:
+            hp, tp, re = _l2_normalize(hp), _l2_normalize(tp), _l2_normalize(re)
+        dist = _p_norm(hp + re - tp, self.p_norm)
+        if self.margin is not None:
+            return self.margin - dist
+        return dist
+
+    def rank_scores(self, h, t, r):
+        s = self.score(h, t, r)
+        return self.margin - s if self.margin is not None else s
+
+    def embeddings_and_score(self, h, t, r):
+        """Raw (untransferred) embeddings + score, the tuple the reference's
+        HOI TransH head returns (``heads/TransH/TransH.py:87-106``)."""
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        re = self.rel_embeddings(r)
+        w = self.norm_vector(r)
+        return he, re, w, te, self.score(h, t, r)
+
+    def regularization(self, h, t, r):
+        return _mean_sq(
+            self.ent_embeddings(h),
+            self.ent_embeddings(t),
+            self.rel_embeddings(r),
+            self.norm_vector(r),
+        )
+
+
+def _transr_matrix_init(rel_tot: int, dim_e: int, dim_r: int, rand_init: bool):
+    if rand_init:
+        return xavier_uniform_embedding(rel_tot, dim_e * dim_r)
+
+    def init(key, shape, dtype=jnp.float32):
+        eye = jnp.zeros((dim_e, dim_r), dtype)
+        eye = eye.at[jnp.arange(min(dim_e, dim_r)), jnp.arange(min(dim_e, dim_r))].set(1.0)
+        return jnp.broadcast_to(eye.reshape(-1), (rel_tot, dim_e * dim_r)).astype(dtype)
+
+    return init
+
+
+class TransR(KGEModel):
+    """Per-relation linear map into relation space, then TransE scoring."""
+
+    dim_e: int = 100
+    dim_r: int = 100
+    p_norm: int = 1
+    norm_flag: bool = True
+    rand_init: bool = False
+    margin: Optional[float] = None
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim_e, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim_e)
+        )
+        self.rel_embeddings = nn.Embed(
+            self.rel_tot, self.dim_r, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim_r)
+        )
+        self.transfer_matrix = nn.Embed(
+            self.rel_tot,
+            self.dim_e * self.dim_r,
+            embedding_init=_transr_matrix_init(self.rel_tot, self.dim_e, self.dim_r, self.rand_init),
+        )
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        re = self.rel_embeddings(r)
+        m = self.transfer_matrix(r).reshape(*r.shape, self.dim_e, self.dim_r)
+        hp = jnp.einsum("...e,...er->...r", he, m)
+        tp = jnp.einsum("...e,...er->...r", te, m)
+        if self.norm_flag:
+            hp, tp, re = _l2_normalize(hp), _l2_normalize(tp), _l2_normalize(re)
+        dist = _p_norm(hp + re - tp, self.p_norm)
+        if self.margin is not None:
+            return self.margin - dist
+        return dist
+
+    def rank_scores(self, h, t, r):
+        s = self.score(h, t, r)
+        return self.margin - s if self.margin is not None else s
+
+    def regularization(self, h, t, r):
+        regul = _mean_sq(
+            self.ent_embeddings(h),
+            self.ent_embeddings(t),
+            self.rel_embeddings(r),
+            self.transfer_matrix(r),
+        )
+        # OpenKE TransR squares its regularizer (TransR.py:100) — kept for parity.
+        return regul * regul
+
+
+class TransD(KGEModel):
+    """Dynamic projection ``normalize(resize(e) + (e . e_p) r_p)`` per triple."""
+
+    dim_e: int = 100
+    dim_r: int = 100
+    p_norm: int = 1
+    norm_flag: bool = True
+    margin: Optional[float] = None
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim_e, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim_e)
+        )
+        self.rel_embeddings = nn.Embed(
+            self.rel_tot, self.dim_r, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim_r)
+        )
+        self.ent_transfer = nn.Embed(
+            self.ent_tot, self.dim_e, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim_e)
+        )
+        self.rel_transfer = nn.Embed(
+            self.rel_tot, self.dim_r, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim_r)
+        )
+
+    def _resize(self, e: Array) -> Array:
+        if self.dim_e == self.dim_r:
+            return e
+        if self.dim_e > self.dim_r:
+            return e[..., : self.dim_r]
+        pad = [(0, 0)] * (e.ndim - 1) + [(0, self.dim_r - self.dim_e)]
+        return jnp.pad(e, pad)
+
+    def _transfer(self, e: Array, e_t: Array, r_t: Array) -> Array:
+        proj = self._resize(e) + jnp.sum(e * e_t, axis=-1, keepdims=True) * r_t
+        return _l2_normalize(proj)
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        re = self.rel_embeddings(r)
+        hp = self._transfer(he, self.ent_transfer(h), self.rel_transfer(r))
+        tp = self._transfer(te, self.ent_transfer(t), self.rel_transfer(r))
+        if self.norm_flag:
+            hp, tp, re = _l2_normalize(hp), _l2_normalize(tp), _l2_normalize(re)
+        dist = _p_norm(hp + re - tp, self.p_norm)
+        if self.margin is not None:
+            return self.margin - dist
+        return dist
+
+    def rank_scores(self, h, t, r):
+        s = self.score(h, t, r)
+        return self.margin - s if self.margin is not None else s
+
+    def regularization(self, h, t, r):
+        return _mean_sq(
+            self.ent_embeddings(h),
+            self.ent_embeddings(t),
+            self.rel_embeddings(r),
+            self.ent_transfer(h),
+            self.ent_transfer(t),
+            self.rel_transfer(r),
+        )
+
+
+class DistMult(KGEModel):
+    """``sum(h * r * t)`` similarity (higher = better)."""
+
+    dim: int = 100
+    LOWER_IS_BETTER = False
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim)
+        )
+        self.rel_embeddings = nn.Embed(
+            self.rel_tot, self.dim, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim)
+        )
+
+    def score(self, h, t, r):
+        return jnp.sum(self.ent_embeddings(h) * self.rel_embeddings(r) * self.ent_embeddings(t), -1)
+
+    def regularization(self, h, t, r):
+        return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
+
+    def l3_regularization(self):
+        return jnp.sum(jnp.abs(self.ent_embeddings.embedding) ** 3) + jnp.sum(
+            jnp.abs(self.rel_embeddings.embedding) ** 3
+        )
+
+
+class ComplEx(KGEModel):
+    """Trouillon et al. complex bilinear score (higher = better)."""
+
+    dim: int = 100
+    LOWER_IS_BETTER = False
+
+    def setup(self):
+        mk = lambda n, d: nn.Embed(n, d, embedding_init=xavier_uniform_embedding(n, d))
+        self.ent_re_embeddings = mk(self.ent_tot, self.dim)
+        self.ent_im_embeddings = mk(self.ent_tot, self.dim)
+        self.rel_re_embeddings = mk(self.rel_tot, self.dim)
+        self.rel_im_embeddings = mk(self.rel_tot, self.dim)
+
+    def score(self, h, t, r):
+        h_re, h_im = self.ent_re_embeddings(h), self.ent_im_embeddings(h)
+        t_re, t_im = self.ent_re_embeddings(t), self.ent_im_embeddings(t)
+        r_re, r_im = self.rel_re_embeddings(r), self.rel_im_embeddings(r)
+        return jnp.sum(
+            h_re * t_re * r_re + h_im * t_im * r_re + h_re * t_im * r_im - h_im * t_re * r_im,
+            -1,
+        )
+
+    def regularization(self, h, t, r):
+        return _mean_sq(
+            self.ent_re_embeddings(h),
+            self.ent_im_embeddings(h),
+            self.ent_re_embeddings(t),
+            self.ent_im_embeddings(t),
+            self.rel_re_embeddings(r),
+            self.rel_im_embeddings(r),
+        )
+
+
+class RESCAL(KGEModel):
+    """Bilinear form with a full matrix per relation.
+
+    OpenKE's forward returns ``-h^T W_r t`` (distance-like); its ``predict``
+    negates it again, inverting the ranking — we rank by ``forward`` directly.
+    """
+
+    dim: int = 100
+    LOWER_IS_BETTER = True
+
+    def setup(self):
+        self.ent_embeddings = nn.Embed(
+            self.ent_tot, self.dim, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim)
+        )
+        self.rel_matrices = nn.Embed(
+            self.rel_tot,
+            self.dim * self.dim,
+            embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim * self.dim),
+        )
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        m = self.rel_matrices(r).reshape(*r.shape, self.dim, self.dim)
+        tr = jnp.einsum("...ij,...j->...i", m, te)
+        return -jnp.sum(he * tr, -1)
+
+    def regularization(self, h, t, r):
+        return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_matrices(r))
+
+
+class Analogy(KGEModel):
+    """ComplEx part + DistMult part; OpenKE forward is the negated sum
+    (distance-like), ranked directly (see RESCAL note)."""
+
+    dim: int = 100
+    LOWER_IS_BETTER = True
+
+    def setup(self):
+        mk = lambda n, d: nn.Embed(n, d, embedding_init=xavier_uniform_embedding(n, d))
+        self.ent_re_embeddings = mk(self.ent_tot, self.dim)
+        self.ent_im_embeddings = mk(self.ent_tot, self.dim)
+        self.rel_re_embeddings = mk(self.rel_tot, self.dim)
+        self.rel_im_embeddings = mk(self.rel_tot, self.dim)
+        self.ent_embeddings = mk(self.ent_tot, self.dim * 2)
+        self.rel_embeddings = mk(self.rel_tot, self.dim * 2)
+
+    def score(self, h, t, r):
+        h_re, h_im = self.ent_re_embeddings(h), self.ent_im_embeddings(h)
+        t_re, t_im = self.ent_re_embeddings(t), self.ent_im_embeddings(t)
+        r_re, r_im = self.rel_re_embeddings(r), self.rel_im_embeddings(r)
+        comp = jnp.sum(
+            r_re * h_re * t_re + r_re * h_im * t_im + r_im * h_re * t_im - r_im * h_im * t_re,
+            -1,
+        )
+        dist = jnp.sum(self.ent_embeddings(h) * self.ent_embeddings(t) * self.rel_embeddings(r), -1)
+        return -comp - dist
+
+    def regularization(self, h, t, r):
+        return _mean_sq(
+            self.ent_re_embeddings(h),
+            self.ent_im_embeddings(h),
+            self.ent_embeddings(h),
+            self.ent_re_embeddings(t),
+            self.ent_im_embeddings(t),
+            self.ent_embeddings(t),
+            self.rel_re_embeddings(r),
+            self.rel_im_embeddings(r),
+            self.rel_embeddings(r),
+        )
+
+
+class SimplE(KGEModel):
+    """OpenKE's simplified SimplE: ``(<h,r,t> + <h,r_inv,t>)/2`` (higher = better)."""
+
+    dim: int = 100
+    LOWER_IS_BETTER = False
+
+    def setup(self):
+        mk = lambda n, d: nn.Embed(n, d, embedding_init=xavier_uniform_embedding(n, d))
+        self.ent_embeddings = mk(self.ent_tot, self.dim)
+        self.rel_embeddings = mk(self.rel_tot, self.dim)
+        self.rel_inv_embeddings = mk(self.rel_tot, self.dim)
+
+    def score(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        return (
+            jnp.sum(he * self.rel_embeddings(r) * te, -1)
+            + jnp.sum(he * self.rel_inv_embeddings(r) * te, -1)
+        ) / 2
+
+    def regularization(self, h, t, r):
+        return _mean_sq(
+            self.ent_embeddings(h),
+            self.ent_embeddings(t),
+            self.rel_embeddings(r),
+            self.rel_inv_embeddings(r),
+        )
+
+
+class RotatE(KGEModel):
+    """Relation as rotation in the complex plane; forward = margin - distance."""
+
+    dim: int = 100
+    margin: float = 6.0
+    epsilon: float = 2.0
+    LOWER_IS_BETTER = False  # forward higher = better; rank = dist - margin
+
+    def setup(self):
+        dim_e = self.dim * 2
+        ent_range = (self.margin + self.epsilon) / dim_e
+        rel_range = (self.margin + self.epsilon) / self.dim
+        self.ent_embeddings = nn.Embed(self.ent_tot, dim_e, embedding_init=uniform_embedding(ent_range))
+        self.rel_embeddings = nn.Embed(self.rel_tot, self.dim, embedding_init=uniform_embedding(rel_range))
+        self._rel_range = rel_range
+
+    def distance(self, h, t, r):
+        he = self.ent_embeddings(h)
+        te = self.ent_embeddings(t)
+        phase = self.rel_embeddings(r) / (self._rel_range / jnp.pi)
+        re_r, im_r = jnp.cos(phase), jnp.sin(phase)
+        re_h, im_h = jnp.split(he, 2, axis=-1)
+        re_t, im_t = jnp.split(te, 2, axis=-1)
+        re_s = re_h * re_r - im_h * im_r - re_t
+        im_s = re_h * im_r + im_h * re_r - im_t
+        return jnp.sum(jnp.sqrt(re_s**2 + im_s**2 + 1e-30), -1)
+
+    def score(self, h, t, r):
+        return self.margin - self.distance(h, t, r)
+
+    def rank_scores(self, h, t, r):
+        return self.distance(h, t, r) - self.margin
+
+    def regularization(self, h, t, r):
+        return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
+
+
+class HolE(KGEModel):
+    """Holographic embeddings: circular correlation of h and t scored by r."""
+
+    dim: int = 100
+    LOWER_IS_BETTER = False
+
+    def setup(self):
+        mk = lambda n, d: nn.Embed(n, d, embedding_init=xavier_uniform_embedding(n, d))
+        self.ent_embeddings = mk(self.ent_tot, self.dim)
+        self.rel_embeddings = mk(self.rel_tot, self.dim)
+
+    @staticmethod
+    def _ccorr(a: Array, b: Array) -> Array:
+        fa = jnp.fft.fft(a, axis=-1)
+        fb = jnp.fft.fft(b, axis=-1)
+        return jnp.real(jnp.fft.ifft(jnp.conj(fa) * fb, axis=-1))
+
+    def score(self, h, t, r):
+        corr = self._ccorr(self.ent_embeddings(h), self.ent_embeddings(t))
+        return jnp.sum(corr * self.rel_embeddings(r), -1)
+
+    def regularization(self, h, t, r):
+        return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))

@@ -1,0 +1,115 @@
+"""On-device KGE trainer: a whole epoch compiles to one XLA program.
+
+The reference trainer (``OpenKE/openke/config/Trainer.py:56-99``) runs a
+Python loop: C++ sampler -> numpy -> torch -> optimizer step, once per batch.
+Here an epoch is ``lax.scan`` over steps; each step draws its batch in-graph
+(:func:`~skghoi_tpu.kge.sampling.sample_batch`), evaluates the strategy loss,
+and applies an optax update — no host transfers until the epoch's mean loss is
+fetched.  Optimizer factory mirrors the reference's SGD/Adagrad/Adadelta/Adam
+choices with the same default hyper-parameters.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from skghoi_tpu.kge.sampling import DeviceKG, sample_batch
+from skghoi_tpu.kge.strategy import NegativeSampling
+
+
+def make_optimizer(opt_method: str, alpha: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
+    m = opt_method.lower()
+    if m == "adagrad":
+        opt = optax.adagrad(alpha)
+    elif m == "adadelta":
+        opt = optax.adadelta(alpha)
+    elif m == "adam":
+        opt = optax.adam(alpha)
+    else:  # SGD default (reference Trainer.py:82-87)
+        opt = optax.sgd(alpha)
+    if weight_decay:
+        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+    return opt
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        params,
+        strategy: NegativeSampling,
+        kg: DeviceKG,
+        nbatches: int = 100,
+        neg_rate: int = 1,
+        bern: bool = False,
+        filtered: bool = True,
+        train_times: int = 1000,
+        alpha: float = 0.5,
+        opt_method: str = "sgd",
+        weight_decay: float = 0.0,
+        save_steps: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        log_fn: Callable[[str], None] = print,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.kg = kg
+        self.train_times = train_times
+        self.save_steps = save_steps
+        self.checkpoint_dir = checkpoint_dir
+        self.log_fn = log_fn
+        self.key = jax.random.PRNGKey(seed)
+
+        batch_size = max(1, int(kg.train_h.shape[0] / nbatches))
+        self.nbatches = nbatches
+        tx = make_optimizer(opt_method, alpha, weight_decay=weight_decay)
+        self.opt_state = tx.init(params)
+
+        def loss_fn(params, key):
+            batch = sample_batch(key, kg, batch_size, neg_rate, bern=bern, filtered=filtered)
+            return strategy(model, params, batch)
+
+        def step(carry, key):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @jax.jit
+        def epoch(params, opt_state, key):
+            keys = jax.random.split(key, nbatches)
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+            return params, opt_state, jnp.sum(losses)
+
+        self._epoch = epoch
+
+    def run(self):
+        t0 = time.time()
+        for ep in range(self.train_times):
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, loss = self._epoch(self.params, self.opt_state, sub)
+            if ep % 50 == 0 or ep == self.train_times - 1:
+                self.log_fn(
+                    f"Epoch {ep} | loss: {float(loss):f} | {time.time() - t0:.1f}s elapsed"
+                )
+            if self.save_steps and self.checkpoint_dir and (ep + 1) % self.save_steps == 0:
+                self.save_checkpoint(os.path.join(self.checkpoint_dir + "-" + str(ep) + ".ckpt"))
+        return self.params
+
+    def save_checkpoint(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            self.params = serialization.from_bytes(self.params, f.read())

@@ -1,0 +1,144 @@
+"""Train + evaluate a KGE model on an OpenKE-format benchmark.
+
+TPU-native counterpart of the reference's ``OpenKE/train_transe_FB15K237.py``:
+
+    TrainDataLoader(nbatches=100, threads=8, bern, filter, neg_ent=25)
+    TransE(dim=200, p_norm=1, norm_flag=True)
+    NegativeSampling + MarginLoss(5.0)
+    Trainer(train_times=1000, alpha=1.0, SGD) ; Tester.run_link_prediction
+
+Example (reads the benchmark read-only from a mounted path):
+
+    python -m skghoi_tpu.tools.train_kge \
+        --data /root/reference/OpenKE/benchmarks/FB15K237 \
+        --model transe --dim 200 --margin 5.0 --epochs 1000 --alpha 1.0
+
+Published parity target: TransE FB15K237 Hits@10(filter) ~ 0.476
+(reference ``OpenKE/README.md:90``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+from skghoi_tpu.kge import (
+    Analogy,
+    ComplEx,
+    DistMult,
+    HolE,
+    KGData,
+    MarginLoss,
+    NegativeSampling,
+    RESCAL,
+    RotatE,
+    SigmoidLoss,
+    SimplE,
+    SoftplusLoss,
+    Tester,
+    Trainer,
+    TransD,
+    TransE,
+    TransH,
+    TransR,
+)
+from skghoi_tpu.kge.sampling import DeviceKG
+
+MODELS = {
+    "transe": lambda a, d: TransE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "transh": lambda a, d: TransH(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "transd": lambda a, d: TransD(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "distmult": lambda a, d: DistMult(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "complex": lambda a, d: ComplEx(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "rescal": lambda a, d: RESCAL(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "analogy": lambda a, d: Analogy(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "simple": lambda a, d: SimplE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "rotate": lambda a, d: RotatE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, margin=a.margin),
+    "hole": lambda a, d: HolE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+}
+
+LOSSES = {
+    "margin": lambda a: MarginLoss(margin=a.margin, adv_temperature=a.adv_temperature),
+    "sigmoid": lambda a: SigmoidLoss(adv_temperature=a.adv_temperature),
+    "softplus": lambda a: SoftplusLoss(adv_temperature=a.adv_temperature),
+}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native OpenKE-parity KGE training")
+    p.add_argument("--data", required=True, help="benchmark dir with *2id.txt files")
+    p.add_argument("--model", default="transe", choices=sorted(MODELS))
+    p.add_argument("--loss", default="margin", choices=sorted(LOSSES))
+    p.add_argument("--dim", type=int, default=200)
+    p.add_argument("--p-norm", type=int, default=1)
+    p.add_argument("--no-norm", action="store_true", help="disable score-time L2 normalization")
+    p.add_argument("--margin", type=float, default=5.0)
+    p.add_argument("--adv-temperature", type=float, default=None)
+    p.add_argument("--nbatches", type=int, default=100)
+    p.add_argument("--neg-ent", type=int, default=25)
+    p.add_argument("--bern", action="store_true")
+    p.add_argument("--no-filter", action="store_true")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--alpha", type=float, default=1.0, help="learning rate")
+    p.add_argument("--opt", default="sgd", choices=["sgd", "adam", "adagrad", "adadelta"])
+    p.add_argument("--regul-rate", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None, help="save final params here")
+    p.add_argument("--eval-chunk", type=int, default=16)
+    p.add_argument("--type-constrain", action="store_true")
+    p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--json", action="store_true", help="print one JSON result line")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    data = KGData.load(args.data, with_type_constrain=args.type_constrain)
+    kg = DeviceKG.from_kgdata(data)
+    print(
+        f"Loaded {args.data}: {data.ent_tot} entities, {data.rel_tot} relations, "
+        f"{data.train_total} train / {len(data.valid)} valid / {len(data.test)} test triples"
+    )
+
+    model = MODELS[args.model](args, data)
+    params = model.init(jax.random.PRNGKey(args.seed), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+    strategy = NegativeSampling(loss=LOSSES[args.loss](args), regul_rate=args.regul_rate)
+
+    trainer = Trainer(
+        model, params, strategy, kg,
+        nbatches=args.nbatches, neg_rate=args.neg_ent, bern=args.bern,
+        filtered=not args.no_filter, train_times=args.epochs,
+        alpha=args.alpha, opt_method=args.opt, seed=args.seed,
+    )
+    t0 = time.time()
+    params = trainer.run()
+    train_time = time.time() - t0
+    steps = args.epochs * args.nbatches
+    print(f"Training: {train_time:.1f}s for {steps} steps ({steps / max(train_time, 1e-9):.1f} steps/s)")
+
+    if args.checkpoint:
+        trainer.save_checkpoint(args.checkpoint)
+
+    if not args.skip_eval:
+        tester = Tester(model, params, data, chunk_size=args.eval_chunk)
+        t0 = time.time()
+        res = tester.run_link_prediction(type_constrain=args.type_constrain)
+        eval_time = time.time() - t0
+        print(f"Evaluation: {eval_time:.1f}s for {2 * len(data.test)} ranking queries")
+        if args.json:
+            print(json.dumps({
+                "model": args.model, "data": args.data,
+                "mrr": res.mrr, "mr": res.mr,
+                "hit10": res.hit10, "hit3": res.hit3, "hit1": res.hit1,
+                "train_seconds": train_time, "steps_per_second": steps / max(train_time, 1e-9),
+            }))
+        return res
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""KGE model scoring vs manual numpy formulas on hand-set parameters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from skghoi_tpu.kge import (
+    Analogy,
+    ComplEx,
+    DistMult,
+    HolE,
+    RESCAL,
+    RotatE,
+    SimplE,
+    TransD,
+    TransE,
+    TransH,
+    TransR,
+)
+
+E, R, D = 7, 3, 8
+KEY = jax.random.PRNGKey(0)
+H = jnp.asarray([0, 2])
+T = jnp.asarray([1, 3])
+REL = jnp.asarray([0, 2])
+
+
+def init(model):
+    return model.init(KEY, H, T, REL)
+
+
+def l2n(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def test_transe_matches_numpy():
+    m = TransE(ent_tot=E, rel_tot=R, dim=D, p_norm=1, norm_flag=True)
+    params = init(m)
+    ent = np.asarray(params["params"]["ent_embeddings"]["embedding"])
+    rel = np.asarray(params["params"]["rel_embeddings"]["embedding"])
+    want = np.abs(l2n(ent[[0, 2]]) + l2n(rel[[0, 2]]) - l2n(ent[[1, 3]])).sum(-1)
+    got = np.asarray(m.apply(params, H, T, REL))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # rank_scores == score for a distance model
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, H, T, REL, method="rank_scores")), got, rtol=1e-6
+    )
+
+
+def test_transh_projection_orthogonal():
+    m = TransH(ent_tot=E, rel_tot=R, dim=D, p_norm=2, norm_flag=True)
+    params = init(m)
+    w = np.asarray(params["params"]["norm_vector"]["embedding"])[[0, 2]]
+    ent = np.asarray(params["params"]["ent_embeddings"]["embedding"])
+    proj = np.asarray(TransH._transfer(jnp.asarray(ent[[0, 2]]), jnp.asarray(w)))
+    dots = np.sum(proj * l2n(w), -1)
+    np.testing.assert_allclose(dots, 0.0, atol=1e-5)
+    # embeddings_and_score returns raw (untransferred) embeddings
+    he, re, rn, te, score = m.apply(params, H, T, REL, method="embeddings_and_score")
+    np.testing.assert_allclose(np.asarray(he), ent[[0, 2]], rtol=1e-6)
+    assert score.shape == (2,)
+
+
+def test_distmult_and_complex_match_numpy():
+    m = DistMult(ent_tot=E, rel_tot=R, dim=D)
+    params = init(m)
+    ent = np.asarray(params["params"]["ent_embeddings"]["embedding"])
+    rel = np.asarray(params["params"]["rel_embeddings"]["embedding"])
+    want = np.sum(ent[[0, 2]] * rel[[0, 2]] * ent[[1, 3]], -1)
+    got = np.asarray(m.apply(params, H, T, REL))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # similarity model: rank score is negated
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, H, T, REL, method="rank_scores")), -got, rtol=1e-5
+    )
+
+    c = ComplEx(ent_tot=E, rel_tot=R, dim=D)
+    cp = c.init(KEY, H, T, REL)
+    p = cp["params"]
+    hr, hi = np.asarray(p["ent_re_embeddings"]["embedding"]), np.asarray(p["ent_im_embeddings"]["embedding"])
+    rr, ri = np.asarray(p["rel_re_embeddings"]["embedding"]), np.asarray(p["rel_im_embeddings"]["embedding"])
+    i, j, k = [0, 2], [1, 3], [0, 2]
+    want = np.sum(
+        hr[i] * hr[j] * rr[k] + hi[i] * hi[j] * rr[k] + hr[i] * hi[j] * ri[k] - hi[i] * hr[j] * ri[k],
+        -1,
+    )
+    np.testing.assert_allclose(np.asarray(c.apply(cp, H, T, REL)), want, rtol=1e-5)
+
+
+def test_transr_identity_init_reduces_to_transe_projection():
+    m = TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D, p_norm=1, norm_flag=False)
+    params = init(m)
+    ent = np.asarray(params["params"]["ent_embeddings"]["embedding"])
+    rel = np.asarray(params["params"]["rel_embeddings"]["embedding"])
+    # identity transfer matrices -> plain h + r - t
+    want = np.abs(ent[[0, 2]] + rel[[0, 2]] - ent[[1, 3]]).sum(-1)
+    np.testing.assert_allclose(np.asarray(m.apply(params, H, T, REL)), want, rtol=1e-5)
+
+
+def test_hole_ccorr_matches_direct_convolution():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2, 6)).astype(np.float32)
+    b = rng.normal(size=(2, 6)).astype(np.float32)
+    got = np.asarray(HolE._ccorr(jnp.asarray(a), jnp.asarray(b)))
+    # circular correlation: c[k] = sum_i a[i] * b[(i + k) mod n]
+    want = np.stack(
+        [[np.sum(a[bi] * np.roll(b[bi], -k)) for k in range(6)] for bi in range(2)]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_all_models_shapes_and_regularization():
+    models = [
+        TransE(ent_tot=E, rel_tot=R, dim=D),
+        TransH(ent_tot=E, rel_tot=R, dim=D),
+        TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2),
+        TransD(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2),
+        DistMult(ent_tot=E, rel_tot=R, dim=D),
+        ComplEx(ent_tot=E, rel_tot=R, dim=D),
+        RESCAL(ent_tot=E, rel_tot=R, dim=D),
+        Analogy(ent_tot=E, rel_tot=R, dim=D),
+        SimplE(ent_tot=E, rel_tot=R, dim=D),
+        RotatE(ent_tot=E, rel_tot=R, dim=D),
+        HolE(ent_tot=E, rel_tot=R, dim=D),
+    ]
+    hb = jnp.zeros((4, 5), jnp.int32)
+    for m in models:
+        params = m.init(KEY, H, T, REL)
+        s = m.apply(params, H, T, REL)
+        assert s.shape == (2,), type(m).__name__
+        assert bool(jnp.all(jnp.isfinite(s))), type(m).__name__
+        # batched leading dims work
+        s2 = m.apply(params, hb, hb, jnp.zeros((4, 5), jnp.int32))
+        assert s2.shape == (4, 5), type(m).__name__
+        reg = m.apply(params, H, T, REL, method="regularization")
+        assert reg.shape == () and bool(jnp.isfinite(reg)), type(m).__name__
+        rs = m.apply(params, H, T, REL, method="rank_scores")
+        assert rs.shape == (2,), type(m).__name__
