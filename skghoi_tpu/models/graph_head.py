@@ -1,0 +1,315 @@
+"""Spatially-conditioned graph head, batched over fixed padded pair grids.
+
+The reference GraphHead (``heads/adamixer_transH_spatial_r50_head.py:586-996``)
+loops over images in Python, builds ragged human x box meshgrids, re-creates a
+fresh TransH module every forward, and runs cardinality-16 fusion as 48 small
+Linears.  This rebuild keeps the same mathematics on dense ``[B, H, N, ...]``
+tensors (H = max humans, N = max boxes) with validity masks, so the whole head
+jit-compiles once and every contraction is MXU-shaped:
+
+- node encodings: 2-layer MLP over pooled RoI features (ref ``:635-641``);
+- persistent TransH submodule (fixing the re-created-per-forward defect, ref
+  ``:574-578`` — embeddings now live in the param tree and train); tail
+  entities are object **classes** by default, with
+  ``quirk_box_index_tails=True`` replicating the reference's use of box
+  indices (ref ``:572``, see SURVEY.md §2.5-2);
+- node augmentation: ``fc_head/fc_tail`` over ``[node ; TransH entity]``
+  (ref ``:694-701,884-885``);
+- 46-d spatial-ratio encodings -> 46->128->256->1024 MLP (ref ``:662-669``);
+- adjacency + anisotropic MBF message passing with LayerNorm (ref
+  ``:891-925``).  NOTE: the reference's loop never feeds updated nodes back
+  into the next iteration (``graph_human_node``/``graph_object_node`` are
+  loop-invariant), so its ``num_iter`` iterations all compute identical
+  values; with ``feedback=False`` (default, reference-faithful) the head
+  computes the fixed point directly.  ``feedback=True`` enables true
+  iterative message passing (the SCG paper's semantics);
+- pair features: ``[attention_head(h||o, spatial), attention_head_g(global,
+  spatial)]`` (ref ``:966-973``);
+- prior scores with the object->verb validity mask, exponent 1.0 train / 2.8
+  eval (ref ``:721-767``);
+- GT association by pairwise min-IoU >= 0.5 (ref ``:703-719``) and balanced
+  positive/negative TransH triple sampling via Gumbel top-k (ref
+  ``:933-963``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from skghoi_tpu import constants as C
+from skghoi_tpu.kge.models import TransH
+from skghoi_tpu.models.mbf import MultiBranchFusion
+from skghoi_tpu.ops.boxes import box_iou
+from skghoi_tpu.ops.spatial import compute_spatial_ratio_encodings
+
+Array = jax.Array
+
+
+class GraphHeadOutputs(NamedTuple):
+    pair_features: Array  # [B, H, N, 2 * rep]
+    pair_valid: Array  # [B, H, N] bool (i < n_h, j < n, i != j)
+    prior: Array  # [B, 2, H, N, K]
+    labels: Optional[Array]  # [B, H, N, K] binary, None at inference
+    unary_labels: Optional[Array]  # [B, H, N]
+    transh_pos: Optional[Array]  # [B, MAX_POS] distance scores of positives
+    transh_neg: Optional[Array]  # [B, MAX_POS]
+    transh_mask: Optional[Array]  # [B, MAX_POS] bool
+
+
+def masked_softmax(logits: Array, mask: Array, axis: int) -> Array:
+    """Softmax that yields exact zeros on fully-masked rows (no NaNs)."""
+    neg = jnp.finfo(logits.dtype).min
+    z = jnp.where(mask, logits, neg)
+    z = z - jax.lax.stop_gradient(jnp.max(z, axis=axis, keepdims=True))
+    e = jnp.exp(z) * mask.astype(logits.dtype)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    return e / jnp.maximum(denom, 1e-20)
+
+
+class GraphHead(nn.Module):
+    out_channels: int = C.FPN_CHANNELS
+    roi_pool_size: int = C.ROI_POOL_SIZE
+    node_encoding_size: int = C.NODE_ENCODING_SIZE
+    representation_size: int = C.REPRESENTATION_SIZE
+    num_cls: int = C.HICO_NUM_VERBS
+    human_idx: int = C.HICO_HUMAN_IDX
+    num_object: int = C.HICO_NUM_OBJECTS
+    fg_iou_thresh: float = C.FG_IOU_THRESH
+    num_iter: int = C.NUM_MP_ITERATIONS
+    max_humans: int = C.MAX_HUMAN
+    transh_dim: int = C.TRANSH_DIM
+    max_transh_pairs: int = 64
+    feedback: bool = False
+    quirk_box_index_tails: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ns = self.node_encoding_size
+        rep = self.representation_size
+        self.box_head_fc1 = nn.Dense(ns, dtype=self.dtype)
+        self.box_head_fc2 = nn.Dense(ns, dtype=self.dtype)
+        self.adjacency = nn.Dense(1, dtype=self.dtype)
+        self.sub_to_obj = MultiBranchFusion(ns, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
+        self.obj_to_sub = MultiBranchFusion(ns, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
+        self.norm_h = nn.LayerNorm()
+        self.norm_o = nn.LayerNorm()
+        self.spatial_fc1 = nn.Dense(C.SPATIAL_HIDDEN[0], dtype=self.dtype)
+        self.spatial_fc2 = nn.Dense(C.SPATIAL_HIDDEN[1], dtype=self.dtype)
+        self.spatial_fc3 = nn.Dense(C.SPATIAL_HIDDEN[2], dtype=self.dtype)
+        self.attention_head = MultiBranchFusion(ns * 2, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
+        self.attention_head_g = MultiBranchFusion(256, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
+        self.transh = TransH(
+            ent_tot=self.num_object,
+            rel_tot=self.num_cls,
+            dim=self.transh_dim,
+            p_norm=C.TRANSH_P_NORM,
+            norm_flag=C.TRANSH_NORM_FLAG,
+        )
+        self.fc_head = nn.Dense(ns, dtype=self.dtype)
+        self.fc_tail = nn.Dense(ns, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    def _spatial_mlp(self, x: Array) -> Array:
+        x = nn.relu(self.spatial_fc1(x))
+        x = nn.relu(self.spatial_fc2(x))
+        return nn.relu(self.spatial_fc3(x))
+
+    def _box_mlp(self, x: Array) -> Array:
+        x = x.reshape(*x.shape[:-3], -1)  # flatten 7x7x256
+        return nn.relu(self.box_head_fc2(nn.relu(self.box_head_fc1(x))))
+
+    def compute_prior_scores(
+        self, scores: Array, labels: Array, object_verb_mask: Array, training: bool
+    ) -> Array:
+        """[B, 2, H, N, K] priors (ref ``:721-767``)."""
+        H = self.max_humans
+        p = C.PRIOR_POWER_TRAIN if training else C.PRIOR_POWER_EVAL
+        s = scores**p
+        valid_verbs = object_verb_mask[labels]  # [B, N, K]
+        b, n, k = valid_verbs.shape
+        prior_h = jnp.broadcast_to(s[:, :H, None, None], (b, H, n, k)) * valid_verbs[:, None, :, :]
+        prior_o = jnp.broadcast_to(s[:, None, :, None], (b, H, n, k)) * valid_verbs[:, None, :, :]
+        return jnp.stack([prior_h, prior_o], axis=1)
+
+    def associate_with_ground_truth(self, boxes: Array, targets: dict) -> Array:
+        """[B, H, N, K] binary labels via min-IoU >= 0.5 (ref ``:703-719``)."""
+        H = self.max_humans
+        iou_h = jax.vmap(box_iou)(boxes[:, :H], targets["boxes_h"])  # [B, H, G]
+        iou_o = jax.vmap(box_iou)(boxes, targets["boxes_o"])  # [B, N, G]
+        pair_hit = (
+            jnp.minimum(iou_h[:, :, None, :], iou_o[:, None, :, :]) >= self.fg_iou_thresh
+        ) & targets["valid"][:, None, None, :]  # [B, H, N, G]
+        verb_onehot = jax.nn.one_hot(targets["labels"], self.num_cls)  # [B, G, K]
+        labels = jnp.einsum("bhng,bgk->bhnk", pair_hit.astype(jnp.float32), verb_onehot)
+        return jnp.clip(labels, 0.0, 1.0)
+
+    def _transh_pair_scores(self, labels: Array):
+        """Per-box TransH machinery.
+
+        Returns (scores [B, N, K], head_embed [dim], tail_embed [B, N, dim]).
+        The head entity is always the human class; the relation enumerates all
+        verbs; the tail is the box's object class (or its slot index under the
+        reference quirk).  Scores depend only on (box, verb), so they are
+        computed per box and broadcast across the H pair axis.
+        """
+        b, n = labels.shape
+        if self.quirk_box_index_tails:
+            tails = jnp.broadcast_to(jnp.arange(n, dtype=labels.dtype)[None, :], (b, n))
+        else:
+            tails = labels
+        tails = jnp.clip(tails, 0, self.num_object - 1)
+        heads = jnp.full((b, n, self.num_cls), self.human_idx, dtype=jnp.int32)
+        rels = jnp.broadcast_to(jnp.arange(self.num_cls, dtype=jnp.int32), (b, n, self.num_cls))
+        tails_k = jnp.broadcast_to(tails[:, :, None], (b, n, self.num_cls)).astype(jnp.int32)
+        scores = self.transh.score(heads, tails_k, rels)  # [B, N, K]
+        head_embed = self.transh.ent_embeddings(jnp.asarray(self.human_idx))  # [dim]
+        tail_embed = self.transh.ent_embeddings(tails.astype(jnp.int32))  # [B, N, dim]
+        return scores, head_embed, tail_embed
+
+    def _sample_transh_pairs(self, rng, transh_pair: Array, labels: Array, pair_valid: Array):
+        """Balanced positive/negative (pair, verb) selection via Gumbel top-k
+        (the batched analogue of ref ``:936-943``'s nonzero + randperm)."""
+        b = transh_pair.shape[0]
+        cap = self.max_transh_pairs
+        flat_scores = transh_pair.reshape(b, -1)
+        flat_labels = (labels * pair_valid[..., None]).reshape(b, -1)
+        pv = jnp.broadcast_to(pair_valid[..., None], labels.shape).reshape(b, -1)
+        neg_ok = (flat_labels < 0.5) & pv
+
+        # Positives: indices of label-1 entries (order irrelevant).
+        _, pos_idx = jax.lax.top_k(flat_labels, cap)
+        n_pos = jnp.minimum(jnp.sum(flat_labels, axis=1), cap)  # [B]
+        pos_mask = jnp.arange(cap)[None, :] < n_pos[:, None]
+
+        gumbel = jax.random.gumbel(rng, neg_ok.shape)
+        neg_logits = jnp.where(neg_ok, gumbel, -jnp.inf)
+        _, neg_idx = jax.lax.top_k(neg_logits, cap)
+
+        pos = jnp.take_along_axis(flat_scores, pos_idx, axis=1)
+        neg = jnp.take_along_axis(flat_scores, neg_idx, axis=1)
+        return pos, neg, pos_mask
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        global_features: Array,  # [B, 256] avg-pooled coarsest FPN level
+        box_features: Array,  # [B, N, P, P, C] pooled RoI features
+        boxes: Array,  # [B, N, 4] in (resized) image space
+        labels: Array,  # [B, N] object class per box
+        scores: Array,  # [B, N]
+        n_h: Array,  # [B] human count (humans occupy slots [0, n_h))
+        n: Array,  # [B] total box count
+        image_sizes: Array,  # [B, 2] (h, w)
+        object_verb_mask: Array,  # [num_object, K] float validity mask
+        targets: Optional[dict] = None,
+        *,
+        training: bool = False,
+        rng: Optional[Array] = None,
+    ) -> GraphHeadOutputs:
+        B, N = boxes.shape[:2]
+        H = self.max_humans
+        K = self.num_cls
+
+        node_enc = self._box_mlp(box_features)  # [B, N, ns]
+
+        # --- TransH augmentation (persistent module) -----------------------
+        transh_scores_box, head_embed, tail_embed = self._transh_pair_scores(labels)
+        h_aug = nn.relu(
+            self.fc_head(
+                jnp.concatenate(
+                    [node_enc[:, :H], jnp.broadcast_to(head_embed, (B, H, self.transh_dim))],
+                    axis=-1,
+                )
+            )
+        )  # [B, H, ns]
+        o_aug = nn.relu(
+            self.fc_tail(jnp.concatenate([node_enc, tail_embed], axis=-1))
+        )  # [B, N, ns]
+
+        # --- spatial encodings over the full H x N pair grid ---------------
+        spatial_raw = compute_spatial_ratio_encodings(
+            boxes[:, :H, None, :],
+            boxes[:, None, :, :],
+            image_sizes[:, 0, None, None],
+            image_sizes[:, 1, None, None],
+        )  # [B, H, N, 46]
+        spatial = self._spatial_mlp(spatial_raw)  # [B, H, N, 1024]
+
+        # --- masks ----------------------------------------------------------
+        i_idx = jnp.arange(H)[None, :]
+        j_idx = jnp.arange(N)[None, :]
+        human_ok = i_idx < jnp.minimum(n_h, H)[:, None]  # [B, H]
+        box_ok = j_idx < n[:, None]  # [B, N]
+        pair_valid = (
+            human_ok[:, :, None]
+            & box_ok[:, None, :]
+            & (jnp.arange(H)[None, :, None] != jnp.arange(N)[None, None, :])
+        )  # [B, H, N]; i == j removed (ref :852)
+
+        # --- message passing ------------------------------------------------
+        cur_h, cur_o = h_aug, o_aug
+        iters = self.num_iter if self.feedback else 1
+        for _ in range(iters):
+            app = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cur_h[:, :, None, :], (B, H, N, cur_h.shape[-1])),
+                    jnp.broadcast_to(cur_o[:, None, :, :], (B, H, N, cur_o.shape[-1])),
+                ],
+                axis=-1,
+            )
+            weights = self.attention_head(app, spatial)  # [B, H, N, rep]
+            adj = self.adjacency(weights)[..., 0]  # [B, H, N]
+
+            # Messages to humans: softmax over objects j (ref :909-914).
+            w_row = masked_softmax(adj, box_ok[:, None, :], axis=2)
+            o_t_s = self.obj_to_sub(cur_o[:, None, :, :], spatial)  # [B, H, N, rep]
+            msg_h = nn.relu(jnp.sum(w_row[..., None] * o_t_s, axis=2))
+            new_h = self.norm_h((cur_h if self.feedback else h_aug) + msg_h)
+
+            # Messages to objects: softmax of adj^T over humans i (ref :916-925).
+            w_col = masked_softmax(
+                jnp.swapaxes(adj, 1, 2), human_ok[:, None, :], axis=2
+            )  # [B, N, H]
+            s_t_o = self.sub_to_obj(cur_h[:, :, None, :], spatial)  # [B, H, N, rep]
+            msg_o = nn.relu(
+                jnp.sum(jnp.swapaxes(w_col, 1, 2)[..., None] * s_t_o, axis=1)
+            )  # [B, N, rep]
+            new_o = self.norm_o((cur_o if self.feedback else o_aug) + msg_o)
+
+            cur_h, cur_o = new_h, new_o
+
+        # --- pair features (ref :966-973) ----------------------------------
+        pair_app = jnp.concatenate(
+            [
+                jnp.broadcast_to(cur_h[:, :, None, :], (B, H, N, cur_h.shape[-1])),
+                jnp.broadcast_to(cur_o[:, None, :, :], (B, H, N, cur_o.shape[-1])),
+            ],
+            axis=-1,
+        )
+        attn1 = self.attention_head(pair_app, spatial)
+        attn2 = self.attention_head_g(global_features[:, None, None, :], spatial)
+        pair_features = jnp.concatenate([attn1, attn2], axis=-1)  # [B, H, N, 2*rep]
+
+        prior = self.compute_prior_scores(scores, labels, object_verb_mask, training)
+        prior = prior * pair_valid[:, None, :, :, None]
+
+        if targets is None:
+            return GraphHeadOutputs(pair_features, pair_valid, prior, None, None, None, None, None)
+
+        gt_labels = self.associate_with_ground_truth(boxes, targets) * pair_valid[..., None]
+        unary = jnp.clip(jnp.sum(gt_labels, axis=-1), 0.0, 1.0)
+
+        transh_pair = jnp.broadcast_to(
+            transh_scores_box[:, None, :, :], (B, H, N, K)
+        )  # score depends on (box j, verb)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        pos, neg, mask = self._sample_transh_pairs(rng, transh_pair, gt_labels, pair_valid)
+
+        return GraphHeadOutputs(
+            pair_features, pair_valid, prior, gt_labels, unary, pos, neg, mask
+        )

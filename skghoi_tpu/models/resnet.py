@@ -1,0 +1,103 @@
+"""ResNet-50 backbone in Flax (NHWC, MXU-friendly, frozen BatchNorm).
+
+Replaces the reference's mmdet-built AdaMixer ResNet-50 backbone
+(``models/adamixer_transH_spatial_r50_models.py:144-157``).  The reference
+fine-tunes with the backbone's BatchNorm in eval mode (mmdet ``norm_eval``
+convention; backbone lr scaled x0.1, ``configures/.../main.py:122-127``), so
+BN here always uses stored statistics — it folds into the preceding conv at
+compile time, which is exactly what you want on TPU.
+
+Layout notes: NHWC throughout (TPU native); convolutions hit the MXU when the
+channel dims are >= 128, which holds for every stage except the stem.  A
+``dtype`` knob runs compute in bfloat16 with float32 params.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always uses stored running statistics.
+
+    Parameters live in the ``params`` collection (scale/bias) and
+    ``batch_stats`` (mean/var) so torch checkpoints map 1:1.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,)).value
+        var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,)).value
+        # Fold into a single multiply-add; XLA fuses this into the conv.
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x.astype(jnp.float32) * inv + (bias - mean * inv)).astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with identity/projection shortcut."""
+
+    features: int  # bottleneck width; output is 4x
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+
+        residual = x
+        y = conv(self.features, (1, 1), name="conv1")(x)
+        y = bn(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = bn(name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.features * 4, (1, 1), name="conv3")(y)
+        y = bn(name="bn3")(y)
+
+        if residual.shape[-1] != self.features * 4 or self.strides != 1:
+            residual = conv(self.features * 4, (1, 1),
+                            strides=(self.strides, self.strides), name="downsample_conv")(x)
+            residual = bn(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Returns the C2..C5 feature pyramid (strides 4, 8, 16, 32)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outputs = []
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            for block in range(blocks):
+                strides = 2 if (block == 0 and stage > 0) else 1
+                x = Bottleneck(width, strides=strides, dtype=self.dtype,
+                               name=f"layer{stage + 1}_block{block}")(x)
+            outputs.append(x)
+        return tuple(outputs)

@@ -13,13 +13,19 @@ from skghoi_tpu.kge.sampling import DeviceKG
 
 
 def ring_kg(n_ent=20):
+    """All ring edges as train AND test: a memorization check.
+
+    Held-out generalization is NOT testable at this scale — with 20 entities,
+    filtered corruption (train-only, same as the reference backend) samples
+    the held-out edges as negatives thousands of times, so the model actively
+    anti-learns them.  Ranking the *train* triples exercises the identical
+    trainer/tester machinery deterministically.
+    """
     triples = np.asarray([[i, (i + 1) % n_ent, 0] for i in range(n_ent)], np.int64)
-    test = triples[::4].copy()
-    train = np.asarray([t for i, t in enumerate(triples) if i % 4 != 0], np.int64)
-    return KGData.build(n_ent, 1, train, valid=None, test=test)
+    return KGData.build(n_ent, 1, triples, valid=None, test=triples.copy())
 
 
-def test_transe_learns_ring():
+def test_transe_memorizes_ring():
     data = ring_kg()
     kg = DeviceKG.from_kgdata(data)
     model = TransE(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=16, p_norm=1, norm_flag=True)
@@ -35,9 +41,8 @@ def test_transe_learns_ring():
 
     tester = Tester(model, params, data, chunk_size=4)
     res = tester.run_link_prediction(log_fn=lambda s: None)
-    # With 20 entities, random hit@3 ~ 0.15; a trained model should be far above.
-    assert res.hit10 > 0.6, res
-    assert res.mr < 6, res
+    assert res.hit10 > 0.9, res
+    assert res.mr < 4, res
 
     acc, thr = tester.run_triple_classification()
     assert acc > 0.7, (acc, thr)
