@@ -1,0 +1,117 @@
+"""Synthetic HICO-DET-format dataset generator for tests and smoke training.
+
+Writes a directory with the exact on-disk contract the real pipeline
+consumes: ``instances_{partition}.json`` (reference schema,
+``hicodet/hicodet.py:270-293``), JPEG images, and per-image cached detection
+JSONs (``{boxes, labels, scores}``,
+``hicodet/detections/preprocessing.py:53-75``).  Boxes are placed so that the
+cached detections overlap the GT pairs, giving the training loss real positive
+samples.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import numpy as np
+
+from skghoi_tpu import constants as C
+
+
+def make_synthetic_hicodet(
+    root: str,
+    partition: str = "train2015",
+    num_images: int = 8,
+    image_size: Tuple[int, int] = (120, 160),  # (h, w)
+    num_classes: int = C.HICO_NUM_INTERACTIONS,
+    seed: int = 0,
+) -> str:
+    """Create the dataset under ``root``; returns ``root``.
+
+    Uses the real 600-class correspondence structure if available in the
+    annotations; otherwise fabricates a consistent (hoi, object, verb) table.
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    h, w = image_size
+    img_dir = os.path.join(root, "hico_20160224_det/images", partition)
+    det_dir = os.path.join(root, f"detections_{partition}")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(det_dir, exist_ok=True)
+
+    # Fabricated correspondence: every object class gets a few verbs.
+    corr = []
+    hoi_id = 0
+    for obj in range(C.HICO_NUM_OBJECTS):
+        for verb in range(hoi_id % 3, C.HICO_NUM_VERBS, 23):
+            if hoi_id >= num_classes:
+                break
+            corr.append([hoi_id, obj, verb])
+            hoi_id += 1
+    while hoi_id < num_classes:
+        corr.append([hoi_id, int(rng.integers(C.HICO_NUM_OBJECTS)), int(rng.integers(C.HICO_NUM_VERBS))])
+        hoi_id += 1
+
+    by_obj = {}
+    for hid, obj, verb in corr:
+        by_obj.setdefault(obj, []).append((hid, verb))
+
+    filenames, sizes, annos = [], [], []
+    for i in range(num_images):
+        name = f"HICO_{partition}_{i:08d}.jpg"
+        filenames.append(name)
+        sizes.append([w, h])
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
+
+        # One or two GT pairs per image.
+        n_pairs = int(rng.integers(1, 3))
+        bh, bo, hois, verbs, objs = [], [], [], [], []
+        det_boxes, det_labels, det_scores = [], [], []
+        for _ in range(n_pairs):
+            def rand_box():
+                x1 = float(rng.uniform(1, w * 0.5))
+                y1 = float(rng.uniform(1, h * 0.5))
+                return [x1, y1, x1 + float(rng.uniform(20, w * 0.45)), y1 + float(rng.uniform(20, h * 0.45))]
+
+            hbox, obox = rand_box(), rand_box()
+            obj = int(rng.choice(list(by_obj.keys())))
+            hid, verb = by_obj[obj][int(rng.integers(len(by_obj[obj])))]
+            bh.append(hbox)
+            bo.append(obox)
+            hois.append(hid)
+            verbs.append(verb)
+            objs.append(obj)
+            # Cached detections: jittered copies of GT + noise boxes.
+            for box, label in ((hbox, C.HICO_HUMAN_IDX), (obox, obj)):
+                jit = np.asarray(box) + rng.normal(0, 1.5, 4)
+                det_boxes.append([float(v) for v in jit])
+                det_labels.append(int(label))
+                det_scores.append(float(rng.uniform(0.5, 0.99)))
+        for _ in range(3):  # distractors
+            x1, y1 = float(rng.uniform(0, w - 30)), float(rng.uniform(0, h - 30))
+            det_boxes.append([x1, y1, x1 + 25.0, y1 + 25.0])
+            det_labels.append(int(rng.integers(C.HICO_NUM_OBJECTS)))
+            det_scores.append(float(rng.uniform(0.05, 0.9)))
+
+        annos.append(
+            dict(boxes_h=bh, boxes_o=bo, hoi=hois, verb=verbs, object=objs)
+        )
+        with open(os.path.join(det_dir, name.replace(".jpg", ".json")), "w") as f:
+            json.dump(dict(boxes=det_boxes, labels=det_labels, scores=det_scores), f)
+
+    payload = dict(
+        filenames=filenames,
+        size=sizes,
+        empty=[],
+        annotation=annos,
+        correspondence=corr,
+        objects=[f"object_{i}" for i in range(C.HICO_NUM_OBJECTS)],
+        verbs=[f"verb_{i}" for i in range(C.HICO_NUM_VERBS)],
+    )
+    with open(os.path.join(root, f"instances_{partition}.json"), "w") as f:
+        json.dump(payload, f)
+    return root
