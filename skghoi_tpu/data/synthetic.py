@@ -42,18 +42,11 @@ def make_synthetic_hicodet(
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(det_dir, exist_ok=True)
 
-    # Fabricated correspondence: every object class gets a few verbs.
-    corr = []
-    hoi_id = 0
-    for obj in range(C.HICO_NUM_OBJECTS):
-        for verb in range(hoi_id % 3, C.HICO_NUM_VERBS, 23):
-            if hoi_id >= num_classes:
-                break
-            corr.append([hoi_id, obj, verb])
-            hoi_id += 1
-    while hoi_id < num_classes:
-        corr.append([hoi_id, int(rng.integers(C.HICO_NUM_OBJECTS)), int(rng.integers(C.HICO_NUM_VERBS))])
-        hoi_id += 1
+    # Fabricated correspondence with unique (object, verb) pairs, like the
+    # real 600-class table: enumerate the 80x117 grid in a scrambled order.
+    all_pairs = [(o, v) for o in range(C.HICO_NUM_OBJECTS) for v in range(C.HICO_NUM_VERBS)]
+    rng.shuffle(all_pairs)
+    corr = [[hid, int(o), int(v)] for hid, (o, v) in enumerate(all_pairs[:num_classes])]
 
     by_obj = {}
     for hid, obj, verb in corr:

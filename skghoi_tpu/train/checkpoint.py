@@ -37,9 +37,19 @@ def save_checkpoint(
     ckpt.wait_until_finished()
 
 
-def load_checkpoint(path: str, params_like: Any, opt_state_like: Any) -> Dict[str, Any]:
-    """Restore into the provided abstract/example pytrees."""
+def load_checkpoint(
+    path: str, params_like: Any, opt_state_like: Optional[Any] = None
+) -> Dict[str, Any]:
+    """Restore into the provided abstract/example pytrees.
+
+    With ``opt_state_like=None`` (eval-only restore, like the reference's
+    cache/test entries reading just ``model_state_dict``), the checkpoint is
+    read without a structural target.
+    """
     path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    if opt_state_like is None:
+        return ckpt.restore(path)
     target = {
         "model_state_dict": params_like,
         "optim_state_dict": opt_state_like,
@@ -47,6 +57,5 @@ def load_checkpoint(path: str, params_like: Any, opt_state_like: Any) -> Dict[st
         "epoch": np.asarray(0),
         "iteration": np.asarray(0),
     }
-    ckpt = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
     return ckpt.restore(path, abstract)
