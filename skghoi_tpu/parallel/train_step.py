@@ -24,20 +24,32 @@ import optax
 from skghoi_tpu.data.structures import HOIBatch
 
 
-def build_train_step(model, tx: optax.GradientTransformation, object_verb_mask) -> Callable:
+def build_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    object_verb_mask,
+    loss_keys: Optional[tuple] = None,
+) -> Callable:
     """Returns ``step(params, extra_vars, opt_state, batch, rng)``.
 
     ``extra_vars`` holds the non-trainable collections (frozen BN
     ``batch_stats``); only ``params`` receives gradients/updates.
+
+    ``loss_keys`` selects which losses drive the gradients, reproducing the
+    reference's engine variants (``utils.py:200-424``): the default trains on
+    all three; ``("transh_loss",)`` matches ``transH_CustomisedDLE``;
+    ``("hoi_loss", "interactiveness_loss")`` matches
+    ``OriginalCustomisedDLE`` (no TransH term).
     """
     ovm = jnp.asarray(object_verb_mask)
+    keys = tuple(loss_keys) if loss_keys else ("hoi_loss", "interactiveness_loss", "transh_loss")
 
     @jax.jit
     def train_step(params, extra_vars, opt_state, batch: HOIBatch, rng):
         def loss_fn(p):
             out = model.apply({"params": p, **extra_vars}, batch, ovm, training=True, rng=rng)
             losses = out.losses
-            total = losses["hoi_loss"] + losses["interactiveness_loss"] + losses["transh_loss"]
+            total = sum(losses[k] for k in keys)
             return total, (losses, out)
 
         (total, (losses, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -40,6 +40,13 @@ def build_argparser():
     p.add_argument("--cache-dir", default="./checkpoints")
     p.add_argument("--random-seed", default=1, type=int)
     p.add_argument("--feedback", action="store_true", help="true iterative message passing")
+    p.add_argument(
+        "--losses",
+        nargs="+",
+        default=None,
+        choices=["hoi_loss", "interactiveness_loss", "transh_loss"],
+        help="loss subset driving gradients (engine-variant parity; default all)",
+    )
     p.add_argument("--replicate-reference-quirks", action="store_true")
     p.add_argument("--synthetic", action="store_true", help="tiny generated dataset smoke run")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -128,6 +135,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         milestones=tuple(args.milestones),
         seed=args.random_seed,
+        loss_keys=tuple(args.losses) if args.losses else None,
     )
     if args.checkpoint_path:
         engine.resume(args.checkpoint_path)

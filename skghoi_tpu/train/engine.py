@@ -71,6 +71,7 @@ class LearningEngine:
         seed: int = 0,
         mesh=None,
         use_mesh: bool = True,
+        loss_keys=None,
     ):
         self.model = model
         self.train_loader = train_loader
@@ -105,7 +106,7 @@ class LearningEngine:
             self.extra_vars = replicate(self.extra_vars, self.mesh)
             self.opt_state = replicate(self.opt_state, self.mesh)
 
-        self.train_step = build_train_step(model, self.tx, ovm)
+        self.train_step = build_train_step(model, self.tx, ovm, loss_keys=loss_keys)
         self.eval_step = build_eval_step(model, ovm)
 
         self.hoi_loss = RunningMeter()
