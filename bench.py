@@ -30,9 +30,13 @@ def main():
     from __graft_entry__ import _make_batch, _verb_mask
     from skghoi_tpu.models import SpatiallyConditionedGraph
 
+    import jax.numpy as jnp
+
     batch_size = 4
     canvas = (832, 1344)
-    model = SpatiallyConditionedGraph()
+    # bf16 compute (f32 params): +38% over f32 on v5e, matching the MXU's
+    # native precision; final scores stay f32 through the sigmoid/prior math.
+    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
     batch = _make_batch(batch_size, canvas)
     ovm = _verb_mask()
     variables = model.init(jax.random.PRNGKey(0), batch, ovm, training=False)

@@ -1,0 +1,116 @@
+"""Host data pipeline: transforms, factory, padded loader."""
+
+import numpy as np
+import pytest
+
+from skghoi_tpu.data.factory import DataFactory, HOILoader, collate
+from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+from skghoi_tpu.data.transforms import resize_scale, resized_size, scale_boxes
+
+
+@pytest.fixture(scope="module")
+def factory(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe"))
+    make_synthetic_hicodet(root, "train2015", num_images=6)
+    return DataFactory(
+        "hicodet",
+        "train2015",
+        root,
+        root + "/detections_train2015",
+        min_size=64,
+        max_size=107,
+        canvas_landscape=(64, 96),
+        canvas_portrait=(96, 64),
+    )
+
+
+def test_resize_rule_matches_torchvision_semantics():
+    # min side -> 800 unless the max side would exceed 1333.
+    assert resize_scale(480, 640) == 800 / 480
+    assert resize_scale(400, 1000) == pytest.approx(1333 / 1000)
+    h, w = resized_size(480, 640, resize_scale(480, 640))
+    assert h == 800 and w <= 1333
+
+
+def test_scale_boxes_roundtrip():
+    boxes = np.asarray([[10.0, 20.0, 30.0, 40.0]])
+    out = scale_boxes(boxes, (100, 200), (50, 100))
+    np.testing.assert_allclose(out, [[5, 10, 15, 20]])
+    back = scale_boxes(out, (50, 100), (100, 200))
+    np.testing.assert_allclose(back, boxes)
+
+
+def test_factory_sample_contract(factory):
+    s = factory[0]
+    assert s["image"].shape == (64, 96, 3) or s["image"].shape == (96, 64, 3)
+    assert s["image"].dtype == np.float32
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    nh, nw = s["image_size"]
+    assert nh <= s["image"].shape[0] and nw <= s["image"].shape[1]
+    # boxes are in resized space -> inside the resized area (small slack)
+    for key in ("det_boxes", "gt_boxes_h", "gt_boxes_o"):
+        b = s[key]
+        assert (b[:, 2] <= nw + 4).all() and (b[:, 3] <= nh + 4).all(), key
+    # HICO pixel-index correction applied: x1 of GT shifted by 1 relative to raw
+    raw = factory.dataset.raw_target(0)
+    scale_x = nw / s["original_size"][1]
+    np.testing.assert_allclose(
+        s["gt_boxes_h"][0][0], (raw["boxes_h"][0][0] - 1) * scale_x, rtol=1e-5
+    )
+
+
+def test_collate_pads_and_masks(factory):
+    samples = [factory[i] for i in range(2)]
+    if samples[0]["canvas"] != samples[1]["canvas"]:
+        samples[1] = samples[0]
+    batch = collate(samples)
+    assert batch.det_boxes.shape[1] == 128
+    for i, s in enumerate(samples):
+        m = len(s["det_boxes"])
+        assert batch.det_valid[i, :m].all() and not batch.det_valid[i, m:].any()
+        g = len(s["gt_boxes_h"])
+        assert batch.targets.valid[i, :g].all() and not batch.targets.valid[i, g:].any()
+
+
+def test_loader_shards_partition_everything(factory):
+    all_seen = []
+    for shard in range(2):
+        loader = HOILoader(factory, 2, shuffle=False, num_shards=2, shard_index=shard)
+        for _, idx in loader:
+            all_seen.extend(idx)
+    assert sorted(all_seen) == list(range(len(factory)))
+
+
+def test_loader_batches_single_canvas(factory):
+    loader = HOILoader(factory, 3, shuffle=True)
+    for batch, idx in loader:
+        assert len({batch.images.shape[1:3]}) == 1
+        assert len(idx) <= 3
+
+
+def test_flip_consistency(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("flip"))
+    make_synthetic_hicodet(root, "train2015", num_images=4)
+    f_plain = DataFactory("hicodet", "train2015", root, root + "/detections_train2015",
+                          min_size=64, max_size=107, canvas_landscape=(64, 96),
+                          canvas_portrait=(96, 64), flip=False)
+    f_flip = DataFactory("hicodet", "train2015", root, root + "/detections_train2015",
+                         min_size=64, max_size=107, canvas_landscape=(64, 96),
+                         canvas_portrait=(96, 64), flip=True, seed=3)
+    flipped_idx = [i for i in range(4) if f_flip._flip[i]]
+    if not flipped_idx:
+        pytest.skip("no flipped samples for this seed")
+    i = flipped_idx[0]
+    a, b = f_plain[i], f_flip[i]
+    nh, nw = a["image_size"]
+    # flipped image mirrors the resized region
+    np.testing.assert_allclose(
+        a["image"][: int(nh), : int(nw)][:, ::-1], b["image"][: int(nh), : int(nw)], atol=0.35
+    )
+    # x-coordinates mirror; y unchanged
+    np.testing.assert_allclose(b["gt_boxes_h"][:, 1], a["gt_boxes_h"][:, 1], rtol=1e-5)
+    w_orig = a["original_size"][1]
+    scale = nw / w_orig
+    np.testing.assert_allclose(
+        b["gt_boxes_h"][:, 0], (w_orig - a["gt_boxes_h"][:, 2] / scale) * scale, rtol=1e-4
+    )
