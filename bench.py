@@ -2,16 +2,20 @@
 
 Runs the flagship SCG network (ResNet50+FPN backbone, device-side detection
 filtering, graph head, 117-verb pair classification) at the reference's full
-input resolution (canvas 832x1344, i.e. the min-800/max-1333 transform
-envelope) and measures steady-state images/second for the jitted eval
-forward.
+input resolution (canvas 832x1344, the min-800/max-1333 transform envelope)
+in bfloat16 compute and measures steady-state images/second.
+
+Measurement method: ``n`` forward passes execute as one serial device-side
+``fori_loop`` chain (each iteration's input depends on the previous output),
+closed by a single scalar fetch to host.  This is immune to async-dispatch
+pipelining artifacts and amortizes the host<->device round trip, so the
+number reflects true device throughput.
 
 ``vs_baseline``: the reference repo publishes no end-to-end SKGHOI latency;
-its closest published number is the DETR-R50 detector at 0.036 s/img
-(hicodet/detections/README.md:18) — 27.8 img/s on GPU for *stage 1 alone*.
-The reference's own stage 2 runs at batch size 1 per GPU by assertion
-(utils.py:167).  We report our stage-2 throughput divided by that 27.8 img/s
-figure as the comparison ratio.
+its closest published figure is the DETR-R50 detector at 0.036 s/img
+(hicodet/detections/README.md:18) — 27.8 img/s on GPU for *stage 1 alone*,
+while the reference's stage 2 is pinned to batch size 1 (utils.py:167).  We
+report our full-pipeline throughput divided by 27.8.
 
 Prints exactly one JSON line.
 """
@@ -21,48 +25,50 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 
-
-def main():
+def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _make_batch, _verb_mask
     from skghoi_tpu.models import SpatiallyConditionedGraph
 
-    import jax.numpy as jnp
-
-    batch_size = 4
-    canvas = (832, 1344)
-    # bf16 compute (f32 params): +38% over f32 on v5e, matching the MXU's
-    # native precision; final scores stay f32 through the sigmoid/prior math.
     model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
     batch = _make_batch(batch_size, canvas)
     ovm = _verb_mask()
     variables = model.init(jax.random.PRNGKey(0), batch, ovm, training=False)
 
     @jax.jit
-    def forward(variables, batch):
-        return model.apply(variables, batch, ovm, training=False).scores
+    def chain(variables, batch, n):
+        def body(i, carry):
+            b = batch._replace(images=batch.images + carry * 1e-12)
+            out = model.apply(variables, b, ovm, training=False).scores
+            return jnp.sum(out).astype(jnp.float32)
 
-    # Compile + warmup.
-    forward(variables, batch).block_until_ready()
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    n_iters = 10
+    float(chain(variables, batch, 1))  # compile + warmup, synced by fetch
+    t1 = time.perf_counter()
+    float(chain(variables, batch, 1))
+    t_one = time.perf_counter() - t1
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, batch)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(chain(variables, batch, iters + 1))
+    t_many = time.perf_counter() - t0
+    # Subtract the single-iteration run (which carries the constant host
+    # round-trip) to isolate per-iteration device time.
+    per_iter = (t_many - t_one) / iters
+    return batch_size / per_iter
 
-    images_per_sec = batch_size * n_iters / dt
+
+def main():
+    images_per_sec = measure()
     baseline = 27.8  # DETR-R50 0.036 s/img (detections/README.md:18)
     print(
         json.dumps(
             {
                 "metric": "hoi_inference_images_per_sec",
                 "value": round(images_per_sec, 2),
-                "unit": "img/s (832x1344, batch 4, single chip)",
+                "unit": "img/s (832x1344, bf16, single chip)",
                 "vs_baseline": round(images_per_sec / baseline, 3),
             }
         )

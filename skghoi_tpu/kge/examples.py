@@ -1,0 +1,69 @@
+"""Canonical KGE training configurations (OpenKE examples parity).
+
+The reference ships one script per (model, benchmark) combination under
+``OpenKE/examples/`` plus ``train_transe_FB15K237.py``; the hyper-parameters
+below reproduce those canonical setups as data.  Use via::
+
+    python -m skghoi_tpu.tools.train_kge --example transe_fb15k237 --data <dir>
+
+(the example only presets flags; any explicit flag still overrides).  The
+HOI-flavoured TransH config mirrors ``OpenKE/examples/configues/hoi_linearH.py``
+(dim 200, margin 4.0) used to pretrain embeddings for the interaction head.
+"""
+
+EXAMPLES = {
+    # train_transe_FB15K237.py:9-46
+    "transe_fb15k237": dict(
+        model="transe", dim=200, p_norm=1, margin=5.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+    ),
+    "transe_wn18rr": dict(
+        model="transe", dim=200, p_norm=1, margin=6.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
+    ),
+    "transh_fb15k237": dict(
+        model="transh", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
+    ),
+    # hoi_linearH.py: TransH for the HOI knowledge graph (dim 200, margin 4)
+    "transh_hoi": dict(
+        model="transh", dim=200, p_norm=2, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=500, alpha=0.5, opt="sgd",
+    ),
+    "transr_fb15k237": dict(
+        model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+    ),
+    "transd_fb15k237": dict(
+        model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+    ),
+    "distmult_fb15k237": dict(
+        model="distmult", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    "complex_fb15k237": dict(
+        model="complex", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    "analogy_fb15k237": dict(
+        model="analogy", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    "simple_fb15k237": dict(
+        model="simple", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    "rescal_fb15k237": dict(
+        model="rescal", dim=50, loss="margin", margin=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.1, opt="adagrad",
+    ),
+    "rotate_fb15k237": dict(
+        model="rotate", dim=1024, margin=6.0, loss="sigmoid", adv_temperature=1.0,
+        nbatches=100, neg_ent=25, bern=False, epochs=1000, alpha=2e-5, opt="adam",
+    ),
+    "hole_fb15k237": dict(
+        model="hole", dim=100, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+}

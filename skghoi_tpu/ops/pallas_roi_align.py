@@ -1,0 +1,198 @@
+"""Multi-scale RoIAlign as a Pallas TPU kernel.
+
+The XLA formulation (:mod:`skghoi_tpu.ops.roi_align`) computes the pooled
+output at **all four** FPN levels and selects per box — simple, but 4x the
+gather traffic, and TPU scalar gathers are slow.  This kernel exploits two
+structural facts:
+
+1. **Bilinear sampling is separable.**  Averaging the 2x2 samples per bin
+   commutes with the outer product of the per-axis interpolation weights, so
+   RoIAlign of one box is exactly ``A_y @ patch @ A_x^T`` with
+   ``A_y, A_x : [7, P]`` sparse interpolation matrices over a ``P x P``
+   feature patch.  Two small MXU matmuls replace 784 scalar gathers.
+2. **The FPN level assignment bounds the patch.**  A box's span at its
+   assigned level is at most ~45 cells (canonical-scale mapping + the 1344-px
+   canvas at stride 32), so a fixed 48x48 window always covers the sampled
+   region.
+
+Per grid step (one box), the kernel DMAs the assigned level's ``48 x 48 x C``
+window from HBM into VMEM — the level id and window origin arrive via scalar
+prefetch — and runs the two matmuls.  All boundary semantics (zero outside
+``[-1, size]``, clamp-to-edge) are encoded in the interpolation matrices,
+which are built vectorized outside the kernel (they are tiny: ``[B*N, 7,
+48]``).  Feature maps whose spatial dims are under 48 (stride-32 level) are
+zero-padded once outside; padded cells never receive weight.
+
+Falls back to the gather implementation off-TPU; ``interpret=True`` runs the
+kernel in the Pallas interpreter for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from skghoi_tpu.ops.roi_align import fpn_level_assignment, multiscale_roi_align
+
+Array = jax.Array
+
+PATCH = 48     # window height; bounds every roi span at its assigned level
+PATCH_W = 56   # window width: span bound (45) + up to 7 cells of tile alignment
+_LANE_TILE = 8  # Mosaic sublane tiling of the W axis: DMA origins must align
+
+
+def _axis_weights(start, roi_len, origin, size, pooled: int, sampling_ratio: int,
+                  patch: int = PATCH):
+    """Interpolation matrix rows for one axis of one box.
+
+    Args (all traced scalars): ``start`` roi start in feature cells,
+    ``roi_len`` roi extent (>= 1 cell), ``origin`` patch window origin,
+    ``size`` true (unpadded) feature extent.
+
+    Returns ``[pooled, patch]`` weights including the 1/sr sample averaging.
+    """
+    sr = sampling_ratio
+    n_samples = pooled * sr
+    s_idx = jnp.arange(n_samples, dtype=jnp.float32)
+    bin_len = roi_len / pooled
+    # Sample positions: start + (bin + (i + .5)/sr) * bin_len, flattened.
+    pos = start + (jnp.floor(s_idx / sr) + (jnp.mod(s_idx, sr) + 0.5) / sr) * bin_len
+
+    size_f = jnp.asarray(size, jnp.float32)
+    oob = (pos < -1.0) | (pos > size_f)
+    pos_c = jnp.clip(pos, 0.0, size_f - 1.0)
+    low = jnp.floor(pos_c)
+    frac = pos_c - low
+
+    cells = origin.astype(jnp.float32) + jnp.arange(patch, dtype=jnp.float32)  # global ids
+    # low-cell weight (1-frac) + high-cell weight (frac); edge collapse works
+    # because pos_c is clipped to size-1 so low = size-1 and frac = 0 there.
+    w = (
+        (cells[None, :] == low[:, None]) * (1.0 - frac)[:, None]
+        + (cells[None, :] == jnp.minimum(low + 1, size_f - 1)[:, None]) * frac[:, None]
+    )
+    w = jnp.where(oob[:, None], 0.0, w)
+    # Fold the sr samples of each bin into one row (mean).
+    return w.reshape(pooled, sr, patch).sum(axis=1) / sr
+
+
+def _kernel(lvl_ref, y0_ref, x0_ref, b_ref, ay_ref, ax_ref, f0, f1, f2, f3, out_ref,
+            patch_ref, sem):
+    i = pl.program_id(0)
+    lvl = lvl_ref[i]
+    y0 = y0_ref[i]
+    x0 = x0_ref[i]
+    b = b_ref[i]
+
+    x0 = pl.multiple_of(x0, _LANE_TILE)
+
+    for l, fm in enumerate((f0, f1, f2, f3)):
+        @pl.when(lvl == l)
+        def _():
+            cp = pltpu.make_async_copy(
+                fm.at[b, pl.ds(y0, PATCH), pl.ds(x0, PATCH_W), :], patch_ref, sem
+            )
+            cp.start()
+            cp.wait()
+
+    c = patch_ref.shape[-1]
+    patch = patch_ref[...].astype(jnp.float32)
+    ay = ay_ref[0]  # [7, PATCH]
+    ax = ax_ref[0]  # [7, PATCH_W]
+    t1 = jnp.dot(ay, patch.reshape(PATCH, PATCH_W * c), preferred_element_type=jnp.float32)
+    t1 = t1.reshape(7, PATCH_W, c)
+    t1 = jnp.swapaxes(t1, 0, 1).reshape(PATCH_W, 7 * c)
+    t2 = jnp.dot(ax, t1, preferred_element_type=jnp.float32)  # [7q, 7p * c]
+    out_ref[0] = jnp.swapaxes(t2.reshape(7, 7, c), 0, 1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
+def pallas_multiscale_roi_align(
+    feature_maps: Sequence[Array],
+    boxes: Array,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    interpret: bool = False,
+) -> Array:
+    """RoIAlign ``[B, N, 4]`` boxes over batched FPN maps -> ``[B, N, 7, 7, C]``.
+
+    ``feature_maps``: four ``[B, H_l, W_l, C]`` arrays, finest first.
+    """
+    bsz, n = boxes.shape[:2]
+    c = feature_maps[0].shape[-1]
+    flat_boxes = boxes.reshape(-1, 4)
+    levels = fpn_level_assignment(flat_boxes)  # [B*N]
+
+    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])  # true sizes
+    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
+    hs = jnp.asarray(sizes[:, 0], jnp.float32)[levels]
+    ws = jnp.asarray(sizes[:, 1], jnp.float32)[levels]
+
+    x1 = flat_boxes[:, 0] * scale
+    y1 = flat_boxes[:, 1] * scale
+    roi_w = jnp.maximum(flat_boxes[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(flat_boxes[:, 3] * scale - y1, 1.0)
+
+    def origin(start, extent, patch, align=1):
+        o = jnp.floor(start) - 1.0
+        o = jnp.clip(o, 0.0, jnp.maximum(extent - patch, 0.0))
+        return ((o.astype(jnp.int32)) // align) * align
+
+    y0 = origin(y1, hs, PATCH)
+    # The W-axis DMA origin must sit on the Mosaic sublane tile; the window is
+    # 8 cells wider than the span bound to absorb the round-down.
+    x0 = origin(x1, ws, PATCH_W, _LANE_TILE)
+
+    ay = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH))(y1, roi_h, y0, hs)
+    ax = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH_W))(x1, roi_w, x0, ws)
+
+    # Pad coarse maps so a full window always exists.
+    padded = []
+    for fm in feature_maps:
+        ph = max(0, PATCH - fm.shape[1])
+        pw = max(0, PATCH_W - fm.shape[2])
+        if ph or pw:
+            fm = jnp.pad(fm, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        padded.append(fm)
+
+    batch_ids = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # levels, y0, x0, batch ids
+        grid=(bsz * n,),
+        in_specs=[
+            pl.BlockSpec((1, 7, PATCH), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, PATCH_W), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 7, 7, c), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PATCH, PATCH_W, c), feature_maps[0].dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz * n, 7, 7, c), feature_maps[0].dtype),
+        interpret=interpret,
+    )(levels, y0, x0, batch_ids, ay, ax, *padded)
+    return out.reshape(bsz, n, 7, 7, c)
+
+
+def roi_align_auto(feature_maps: Sequence[Array], boxes: Array) -> Array:
+    """Pallas kernel on TPU, gather fallback elsewhere. ``[B,N,4]`` boxes."""
+    if jax.default_backend() == "tpu":
+        return pallas_multiscale_roi_align(tuple(feature_maps), boxes)
+    return jax.vmap(lambda f, b: multiscale_roi_align(f, b))(tuple(feature_maps), boxes)

@@ -71,6 +71,7 @@ LOSSES = {
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native OpenKE-parity KGE training")
     p.add_argument("--data", required=True, help="benchmark dir with *2id.txt files")
+    p.add_argument("--example", default=None, help="preset config name (see kge/examples.py)")
     p.add_argument("--model", default="transe", choices=sorted(MODELS))
     p.add_argument("--loss", default="margin", choices=sorted(LOSSES))
     p.add_argument("--dim", type=int, default=200)
@@ -96,7 +97,21 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.example:
+        from skghoi_tpu.kge.examples import EXAMPLES
+
+        preset = EXAMPLES[args.example]
+        explicit = {
+            a.dest
+            for a in parser._actions
+            if parser.get_default(a.dest) != getattr(args, a.dest, None)
+        }
+        for k, v in preset.items():
+            if k not in explicit:
+                setattr(args, k, v)
+        print(f"Using example config '{args.example}': {preset}")
     data = KGData.load(args.data, with_type_constrain=args.type_constrain)
     kg = DeviceKG.from_kgdata(data)
     print(
