@@ -37,6 +37,10 @@ def build_argparser():
     p.add_argument("--box-score-thresh", default=0.2, type=float)
     p.add_argument("--print-interval", default=2000, type=int)
     p.add_argument("--checkpoint-path", default="", help="resume from this checkpoint")
+    p.add_argument(
+        "--transh-init", default="",
+        help="TransH checkpoint (pretrain_transh_hoi) to initialize KG embeddings",
+    )
     p.add_argument("--cache-dir", default="./checkpoints")
     p.add_argument("--random-seed", default=1, type=int)
     p.add_argument("--feedback", action="store_true", help="true iterative message passing")
@@ -120,6 +124,16 @@ def main(argv=None):
         training=True,
         rng=jax.random.PRNGKey(0),
     )
+
+    if args.transh_init:
+        from flax import serialization
+
+        from skghoi_tpu.tools.pretrain_transh_hoi import load_pretrained_transh
+
+        with open(args.transh_init, "rb") as f:
+            kge_params = serialization.msgpack_restore(f.read())
+        params = load_pretrained_transh(params, kge_params)
+        print(f"Initialized TransH embeddings from {args.transh_init}")
 
     engine = LearningEngine(
         model,
