@@ -195,17 +195,12 @@ class InteractionHead(nn.Module):
         boxes, obj_labels, obj_scores, n_h, n = detections
 
         # Multi-scale RoIAlign over the padded box set (parameterless).
-        # Inference uses the Pallas separable-matmul kernel on TPU; training
-        # keeps the gather formulation, which is differentiable (gradients
-        # flow into the backbone through the pooled features).
+        # On TPU this is the Pallas separable-matmul kernel with a custom
+        # VJP (window-scatter backward), so both inference and training use
+        # it; off-TPU the differentiable gather formulation runs.
         from skghoi_tpu.ops.pallas_roi_align import roi_align_auto
 
-        if training:
-            box_features = jax.vmap(
-                lambda feats, bx: multiscale_roi_align(feats, bx), in_axes=(0, 0)
-            )(fpn_features, boxes)
-        else:
-            box_features = roi_align_auto(fpn_features, boxes)
+        box_features = roi_align_auto(fpn_features, boxes)
 
         # Global context: average-pool the coarsest level (ref :811).
         global_features = jnp.mean(fpn_features[3], axis=(1, 2))

@@ -191,8 +191,77 @@ def pallas_multiscale_roi_align(
     return out.reshape(bsz, n, 7, 7, c)
 
 
+def _roi_backward(feature_maps, boxes, g, strides=(4, 8, 16, 32)):
+    """Gradient w.r.t. the feature maps: scatter ``A_y^T @ g @ A_x`` back into
+    each box's window.  Boxes are produced by (non-differentiable) NMS
+    filtering, so they receive no gradient — matching torch's roi_align.
+    """
+    bsz, n = boxes.shape[:2]
+    c = feature_maps[0].shape[-1]
+    flat_boxes = boxes.reshape(-1, 4)
+    levels = fpn_level_assignment(flat_boxes)
+    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])
+    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
+    hs = jnp.asarray(sizes[:, 0], jnp.float32)[levels]
+    ws = jnp.asarray(sizes[:, 1], jnp.float32)[levels]
+    x1 = flat_boxes[:, 0] * scale
+    y1 = flat_boxes[:, 1] * scale
+    roi_w = jnp.maximum(flat_boxes[:, 2] * scale - x1, 1.0)
+    roi_h = jnp.maximum(flat_boxes[:, 3] * scale - y1, 1.0)
+
+    def origin(start, extent, patch, align=1):
+        o = jnp.floor(start) - 1.0
+        o = jnp.clip(o, 0.0, jnp.maximum(extent - patch, 0.0))
+        return ((o.astype(jnp.int32)) // align) * align
+
+    y0 = origin(y1, hs, PATCH)
+    x0 = origin(x1, ws, PATCH_W, _LANE_TILE)
+    ay = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH))(y1, roi_h, y0, hs)
+    ax = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH_W))(x1, roi_w, x0, ws)
+
+    g_flat = g.reshape(-1, 7, 7, c).astype(jnp.float32)
+    # Per-box window gradient [B*N, PATCH, PATCH_W, C].
+    patch_grads = jnp.einsum("bpj,bpqc,bqk->bjkc", ay, g_flat, ax)
+
+    batch_ids = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+    grads = []
+    for l, fm in enumerate(feature_maps):
+        ph = max(0, PATCH - fm.shape[1])
+        pw = max(0, PATCH_W - fm.shape[2])
+        acc0 = jnp.zeros((fm.shape[0], fm.shape[1] + ph, fm.shape[2] + pw, c), jnp.float32)
+
+        def body(acc, inp):
+            pg, b, yy, xx, lvl = inp
+            window = jax.lax.dynamic_slice(
+                acc, (b, yy, xx, 0), (1, PATCH, PATCH_W, c)
+            )
+            window = window + jnp.where(lvl == l, 1.0, 0.0) * pg[None]
+            return jax.lax.dynamic_update_slice(acc, window, (b, yy, xx, 0)), None
+
+        acc, _ = jax.lax.scan(body, acc0, (patch_grads, batch_ids, y0, x0, levels))
+        grads.append(acc[:, : fm.shape[1], : fm.shape[2], :].astype(fm.dtype))
+    return tuple(grads)
+
+
+@jax.custom_vjp
+def pallas_roi_align_trainable(feature_maps, boxes):
+    return pallas_multiscale_roi_align(tuple(feature_maps), boxes)
+
+
+def _fwd(feature_maps, boxes):
+    return pallas_roi_align_trainable(feature_maps, boxes), (feature_maps, boxes)
+
+
+def _bwd(res, g):
+    feature_maps, boxes = res
+    return _roi_backward(feature_maps, boxes, g), jnp.zeros_like(boxes)
+
+
+pallas_roi_align_trainable.defvjp(_fwd, _bwd)
+
+
 def roi_align_auto(feature_maps: Sequence[Array], boxes: Array) -> Array:
-    """Pallas kernel on TPU, gather fallback elsewhere. ``[B,N,4]`` boxes."""
+    """Pallas kernel (with custom VJP) on TPU, gather fallback elsewhere."""
     if jax.default_backend() == "tpu":
-        return pallas_multiscale_roi_align(tuple(feature_maps), boxes)
+        return pallas_roi_align_trainable(tuple(feature_maps), boxes)
     return jax.vmap(lambda f, b: multiscale_roi_align(f, b))(tuple(feature_maps), boxes)

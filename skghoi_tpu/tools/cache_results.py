@@ -29,6 +29,7 @@ def build_argparser():
     p.add_argument("--batch-size", default=4, type=int)
     p.add_argument("--model-path", default="", type=str)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
     return p
 
 
@@ -44,7 +45,28 @@ def main(argv=None):
     from skghoi_tpu.parallel.train_step import build_eval_step
     from skghoi_tpu.train.checkpoint import load_checkpoint
 
-    factory = DataFactory(args.dataset, args.partition, args.data_root, args.detection_dir)
+    factory_kwargs = {}
+    if args.synthetic:
+        import tempfile
+
+        from skghoi_tpu.data.synthetic import make_synthetic_hicodet, make_synthetic_vcoco
+
+        root = tempfile.mkdtemp(prefix="skghoi_cache_synth_")
+        if args.dataset == "hicodet":
+            args.partition = "test2015"
+            make_synthetic_hicodet(root, args.partition, num_images=6)
+        else:
+            args.partition = "test"
+            make_synthetic_vcoco(root, args.partition, num_images=6)
+        args.data_root = root
+        args.detection_dir = os.path.join(root, f"detections_{args.partition}")
+        factory_kwargs = dict(
+            min_size=64, max_size=107, canvas_landscape=(64, 96), canvas_portrait=(96, 64)
+        )
+
+    factory = DataFactory(
+        args.dataset, args.partition, args.data_root, args.detection_dir, **factory_kwargs
+    )
     loader = HOILoader(factory, args.batch_size, shuffle=False, with_targets=False)
 
     model = SpatiallyConditionedGraph(

@@ -45,3 +45,21 @@ def test_edge_boxes():
     want = jax.vmap(lambda f, bx: multiscale_roi_align(f, bx))(tuple(fms), boxes)
     got = pallas_multiscale_roi_align(tuple(fms), boxes, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_custom_backward_matches_gather_grad():
+    from skghoi_tpu.ops.pallas_roi_align import _roi_backward
+
+    fms, boxes = make_fixture(b=1, n=4)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=(1, 4, 7, 7, 8)).astype(np.float32))
+
+    def loss(f):
+        out = jax.vmap(lambda ff, bx: multiscale_roi_align(ff, bx))(f, boxes)
+        return jnp.sum(out * g)
+
+    want = jax.grad(loss)(tuple(fms))
+    got = _roi_backward(tuple(fms), boxes, g)
+    for l, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                                   err_msg=f"level {l}")
