@@ -1,0 +1,139 @@
+"""Fine-tune the stage-1 detector on HICO-DET boxes.
+
+Counterpart of the reference's DETR fine-tuning entry
+(``hicodet/detections/main_detr.py``): trains the in-repo FPN detector on the
+dataset's GT boxes (humans + objects), then optionally caches its detections
+for stage 2.  Data-parallel over the local mesh like the HOI trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="Train the FPN detector")
+    p.add_argument("--data-root", default="hicodet")
+    p.add_argument("--partition", default="train2015")
+    p.add_argument("--num-epochs", default=10, type=int)
+    p.add_argument("--batch-size", default=4, type=int)
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--weight-decay", default=1e-4, type=float)
+    p.add_argument("--cache-dir", default="./detector_checkpoints")
+    p.add_argument("--print-interval", default=100, type=int)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import optax
+
+    from skghoi_tpu import constants as C
+    from skghoi_tpu.data.factory import DataFactory, HOILoader
+    from skghoi_tpu.detect.detector import FPNDetector, detector_loss, generate_anchors
+    from skghoi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from skghoi_tpu.train.checkpoint import save_checkpoint
+
+    factory_kwargs = {}
+    canvases = {(C.CANVAS_LANDSCAPE): None, (C.CANVAS_PORTRAIT): None}
+    if args.synthetic:
+        import tempfile
+
+        from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+
+        root = tempfile.mkdtemp(prefix="skghoi_det_")
+        make_synthetic_hicodet(root, args.partition, num_images=8)
+        args.data_root = root
+        det_dir = os.path.join(root, f"detections_{args.partition}")
+        factory_kwargs = dict(
+            min_size=64, max_size=107, canvas_landscape=(64, 96), canvas_portrait=(96, 64)
+        )
+        args.num_epochs = min(args.num_epochs, 2)
+        args.print_interval = 1
+    else:
+        det_dir = os.path.join(args.data_root, "detections", args.partition)
+
+    n_dev = len(jax.devices())
+    batch = args.batch_size * n_dev
+    factory = DataFactory(
+        "hicodet", args.partition, args.data_root, det_dir, flip=True, **factory_kwargs
+    )
+    loader = HOILoader(factory, batch, shuffle=True, with_targets=True)
+
+    model = FPNDetector()
+    first_batch, _ = next(iter(loader))
+    variables = dict(model.init(jax.random.PRNGKey(0), first_batch.images))
+    params = variables.pop("params")
+    tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    opt_state = tx.init(params)
+
+    mesh = make_mesh()
+    params = replicate(params, mesh)
+    extra = replicate(variables, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    # One compiled step per canvas (anchors are canvas-static constants).
+    steps = {}
+
+    def get_step(canvas):
+        if canvas not in steps:
+            anchors = jnp.asarray(generate_anchors(canvas))
+
+            @jax.jit
+            def step(params, extra, opt_state, batch):
+                def loss_fn(p):
+                    t = batch.targets
+                    boxes = jnp.concatenate([t.boxes_h, t.boxes_o], axis=1)
+                    labels = jnp.concatenate(
+                        [jnp.full_like(t.object, C.HICO_HUMAN_IDX), t.object], axis=1
+                    )
+                    valid = jnp.concatenate([t.valid, t.valid], axis=1)
+                    logits, deltas = model.apply({"params": p, **extra}, batch.images)
+                    losses = detector_loss(logits, deltas, anchors, boxes, labels, valid)
+                    return losses["cls_loss"] + losses["box_loss"], losses
+
+                (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state2, losses
+
+            steps[canvas] = step
+        return steps[canvas]
+
+    it = 0
+    for epoch in range(args.num_epochs):
+        loader.set_epoch(epoch)
+        for hoi_batch, _ in loader:
+            canvas = hoi_batch.images.shape[1:3]
+            hoi_batch = shard_batch(hoi_batch, mesh)
+            params, opt_state, losses = get_step(tuple(canvas))(
+                params, extra, opt_state, hoi_batch
+            )
+            it += 1
+            if it % args.print_interval == 0:
+                print(
+                    f"iter {it}: cls {float(losses['cls_loss']):.4f} "
+                    f"box {float(losses['box_loss']):.4f}"
+                )
+        os.makedirs(args.cache_dir, exist_ok=True)
+        save_checkpoint(
+            os.path.join(args.cache_dir, f"det_{epoch:02d}"),
+            {"params": params, **extra},
+            opt_state,
+            epoch,
+            it,
+        )
+    print("Detector training complete.")
+
+
+if __name__ == "__main__":
+    main()
