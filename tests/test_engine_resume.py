@@ -1,0 +1,57 @@
+"""Learning engine: checkpoint/resume roundtrip on the synthetic pipeline."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from skghoi_tpu import constants as C
+from skghoi_tpu.data.factory import DataFactory, HOILoader
+from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+from skghoi_tpu.models import SpatiallyConditionedGraph
+from skghoi_tpu.train.engine import LearningEngine
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resume"))
+    make_synthetic_hicodet(root, "train2015", num_images=4)
+    factory = DataFactory(
+        "hicodet", "train2015", root, os.path.join(root, "detections_train2015"),
+        min_size=64, max_size=107, canvas_landscape=(64, 96), canvas_portrait=(96, 64),
+    )
+    loader = HOILoader(factory, 4, shuffle=False, with_targets=True)
+    model = SpatiallyConditionedGraph()
+    first, _ = next(iter(loader))
+    ovm = factory.dataset.object_verb_mask()
+    params = model.init(
+        jax.random.PRNGKey(0), first, ovm, training=True, rng=jax.random.PRNGKey(1)
+    )
+    return model, params, loader, ovm
+
+
+def test_resume_roundtrip(setup, tmp_path):
+    model, params, loader, ovm = setup
+    cache = str(tmp_path / "ckpts")
+    engine = LearningEngine(
+        model, params, loader, None, object_verb_mask=ovm,
+        cache_dir=cache, print_interval=1000, use_mesh=False,
+    )
+    engine.run(1)  # writes ckpt_01
+    saved_leaf = np.asarray(jax.tree_util.tree_leaves(engine.params)[0])
+    it = engine.iteration
+
+    engine2 = LearningEngine(
+        model, params, loader, None, object_verb_mask=ovm,
+        cache_dir=cache, print_interval=1000, use_mesh=False,
+    )
+    engine2.resume(os.path.join(cache, "ckpt_01"))
+    assert engine2.epoch == 1
+    assert engine2.iteration == it
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(engine2.params)[0]), saved_leaf
+    )
+    # Training continues cleanly from the restored state.
+    engine2.run(1)
+    assert engine2.epoch == 2
