@@ -20,7 +20,7 @@ to produce the stage-2 cache JSONs.
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from scipy import io as sio

@@ -14,7 +14,7 @@ forward is batched and only the meter bookkeeping walks images on host.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -22,7 +22,7 @@ filtering) as the behavioral oracle and as a drop-in for CPU-only runs.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ flattened score buffer into positive/negative halves
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

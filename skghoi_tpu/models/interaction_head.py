@@ -36,7 +36,6 @@ from skghoi_tpu.ops.losses import (
     binary_focal_loss_with_logits,
     margin_ranking_loss,
 )
-from skghoi_tpu.ops.roi_align import multiscale_roi_align
 
 Array = jax.Array
 

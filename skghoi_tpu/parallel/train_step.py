@@ -14,7 +14,6 @@ returns the loss dict, and the engine raises if ``hoi_loss`` is NaN.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

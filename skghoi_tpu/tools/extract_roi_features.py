@@ -34,8 +34,6 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
-
     from skghoi_tpu.data.factory import DataFactory, HOILoader
     from skghoi_tpu.models.backbone import DetectorBackbone
     from skghoi_tpu.models.interaction_head import filter_detections

@@ -66,7 +66,6 @@ def main(argv=None):
     from skghoi_tpu.data.factory import DataFactory, HOILoader
     from skghoi_tpu.models import SpatiallyConditionedGraph
     from skghoi_tpu.train.engine import LearningEngine
-    from skghoi_tpu.data.structures import HOIBatch
 
     if args.synthetic:
         import tempfile

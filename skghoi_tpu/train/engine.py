@@ -22,12 +22,10 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import jax
 import numpy as np
 
-from skghoi_tpu.eval.hoi_eval import evaluate_hicodet, jax_to_numpy, unpack_image_results
+from skghoi_tpu.eval.hoi_eval import jax_to_numpy, unpack_image_results
 from skghoi_tpu.ops.ap import DetectionAPMeter
 from skghoi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from skghoi_tpu.parallel.train_step import build_eval_step, build_train_step

@@ -61,3 +61,18 @@ def test_checkpoint_roundtrip(tmp_path):
     trainer.load_checkpoint(path)
     after = jax.tree_util.tree_leaves(trainer.params)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_type_constrained_eval():
+    """Type constraints restrict candidates: constrained ranks <= raw ranks."""
+    data = ring_kg()
+    # All entities admissible for relation 0 except half of them.
+    data.head_type = {0: np.arange(0, 20, 2)}
+    data.tail_type = {0: np.arange(0, 20, 2)}
+    kg = DeviceKG.from_kgdata(data)
+    model = TransE(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=8)
+    params = model.init(jax.random.PRNGKey(0), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+    tester = Tester(model, params, data, chunk_size=4)
+    res = tester.run_link_prediction(type_constrain=True, log_fn=lambda s: None)
+    # Constrained candidate pool is half the size -> MR bounded by ~pool size.
+    assert res.mr <= 11, res
