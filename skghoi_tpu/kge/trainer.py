@@ -27,7 +27,11 @@ from skghoi_tpu.kge.strategy import NegativeSampling
 def make_optimizer(opt_method: str, alpha: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
     m = opt_method.lower()
     if m == "adagrad":
-        opt = optax.adagrad(alpha)
+        # torch Adagrad semantics: accumulator starts at 0 (optax defaults to
+        # 0.1), so the first steps are ~sign(g)*lr — the kick that lets
+        # regularized bilinear models (DistMult/ComplEx) escape the tiny
+        # xavier-init basin the way the reference training does.
+        opt = optax.adagrad(alpha, initial_accumulator_value=0.0, eps=1e-10)
     elif m == "adadelta":
         opt = optax.adadelta(alpha)
     elif m == "adam":

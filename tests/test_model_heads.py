@@ -132,3 +132,19 @@ def test_gt_association_min_iou():
     got = np.asarray(labels[0])
     assert got[0, 2, 42] == 1.0  # (human0, object2) matched verb 42
     assert got.sum() == 1.0  # and nothing else
+
+
+def test_prior_power_train_vs_eval():
+    """Detection-score exponent: 1.0 in training, 2.8 at eval (head.py:742)."""
+    import jax.numpy as jnp
+
+    gh = GraphHead(max_humans=2)
+    scores = jnp.asarray([[0.5, 0.6, 0.7]])
+    labels = jnp.asarray([[C.HICO_HUMAN_IDX, 3, 5]])
+    ovm = jnp.ones((80, C.HICO_NUM_VERBS), jnp.float32)
+    p_train = gh.compute_prior_scores(scores, labels, ovm, training=True)
+    p_eval = gh.compute_prior_scores(scores, labels, ovm, training=False)
+    np.testing.assert_allclose(float(p_train[0, 0, 0, 1, 0]), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(p_eval[0, 0, 0, 1, 0]), 0.5**2.8, rtol=1e-5)
+    # prior_o uses the object box's score
+    np.testing.assert_allclose(float(p_train[0, 1, 0, 1, 0]), 0.6, rtol=1e-6)
