@@ -248,6 +248,35 @@ class TransR(KGEModel):
         s = self.score(h, t, r)
         return self.margin - s if self.margin is not None else s
 
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        """Scores of one triple against every entity (one side).
+
+        The generic all-entity broadcast would gather a ``dim_e x dim_r``
+        transfer matrix per (triple, entity) — 11 GB per ranking query at
+        dim 200.  Since the relation is fixed along the entity axis, project
+        the whole entity table once with a single matmul instead.
+        """
+        m = self.transfer_matrix(r).reshape(self.dim_e, self.dim_r)
+        ents_p = self.ent_embeddings.embedding @ m  # [E, dim_r]
+        anchor_p = self.ent_embeddings(anchor) @ m  # [dim_r]
+        re = self.rel_embeddings(r)
+        if self.norm_flag:
+            ents_p = _l2_normalize(ents_p)
+            anchor_p = _l2_normalize(anchor_p)
+            re = _l2_normalize(re)
+        if anchor_is_head:
+            diff = anchor_p[None, :] + re[None, :] - ents_p
+        else:
+            diff = ents_p + re[None, :] - anchor_p[None, :]
+        dist = _p_norm(diff, self.p_norm)
+        return self.margin - dist if self.margin is not None else dist
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
+
     def regularization(self, h, t, r):
         regul = _mean_sq(
             self.ent_embeddings(h),

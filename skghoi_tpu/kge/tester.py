@@ -77,13 +77,23 @@ class Tester:
                 cons_filt = 1 + jnp.sum(better & not_gt & cand_mask & ~known, axis=1)
                 return raw, filt, cons, cons_filt
 
-            # Head side: substitute every entity as head.
-            head_scores = model.apply(params, eb, tb, rb, method="rank_scores")
+            # Models with per-relation projections (TransR) expose rank_all_*
+            # fast paths: one matmul over the entity table per query instead
+            # of gathering a transfer matrix per (triple, entity).
+            if hasattr(type(model), "rank_all_tails"):
+                head_scores = jax.vmap(
+                    lambda tt, rr: model.apply(params, tt, rr, method="rank_all_heads")
+                )(t, r)
+                tail_scores = jax.vmap(
+                    lambda hh, rr: model.apply(params, hh, rr, method="rank_all_tails")
+                )(h, r)
+            else:
+                head_scores = model.apply(params, eb, tb, rb, method="rank_scores")
+                tail_scores = model.apply(params, hb, eb, rb, method="rank_scores")
+
             known_h = self._known.contains(eb, rb, tb)
             head_ranks = side(head_scores, h, known_h, type_mask[0])
 
-            # Tail side.
-            tail_scores = model.apply(params, hb, eb, rb, method="rank_scores")
             known_t = self._known.contains(hb, rb, eb)
             tail_ranks = side(tail_scores, t, known_t, type_mask[1])
 

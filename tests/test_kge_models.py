@@ -136,3 +136,21 @@ def test_all_models_shapes_and_regularization():
         assert reg.shape == () and bool(jnp.isfinite(reg)), type(m).__name__
         rs = m.apply(params, H, T, REL, method="rank_scores")
         assert rs.shape == (2,), type(m).__name__
+
+
+def test_transr_rank_all_matches_generic_broadcast():
+    m = TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2, p_norm=1, norm_flag=True)
+    params = m.init(KEY, H, T, REL)
+    ents = jnp.arange(E, dtype=jnp.int32)
+    h, r = jnp.asarray(2, jnp.int32), jnp.asarray(1, jnp.int32)
+    generic = m.apply(
+        params, jnp.full((E,), h), ents, jnp.full((E,), r), method="rank_scores"
+    )
+    fast = m.apply(params, h, r, method="rank_all_tails")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(generic), rtol=1e-5, atol=1e-6)
+    t = jnp.asarray(4, jnp.int32)
+    generic_h = m.apply(
+        params, ents, jnp.full((E,), t), jnp.full((E,), r), method="rank_scores"
+    )
+    fast_h = m.apply(params, t, r, method="rank_all_heads")
+    np.testing.assert_allclose(np.asarray(fast_h), np.asarray(generic_h), rtol=1e-5, atol=1e-6)
