@@ -76,3 +76,22 @@ def test_type_constrained_eval():
     res = tester.run_link_prediction(type_constrain=True, log_fn=lambda s: None)
     # Constrained candidate pool is half the size -> MR bounded by ~pool size.
     assert res.mr <= 11, res
+
+
+def test_distmult_softplus_adagrad_memorizes_ring():
+    """The bilinear + softplus + adagrad + L2-regul path learns correctly
+    (the FB15K237 DistMult gap is hyperparameters, not the pipeline)."""
+    from skghoi_tpu.kge import DistMult, SoftplusLoss
+
+    data = ring_kg()
+    kg = DeviceKG.from_kgdata(data)
+    m = DistMult(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=16)
+    params = m.init(jax.random.PRNGKey(0), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+    trainer = Trainer(
+        m, params, NegativeSampling(loss=SoftplusLoss(), regul_rate=1.0), kg,
+        nbatches=2, neg_rate=8, bern=True, train_times=500, alpha=0.5,
+        opt_method="adagrad", log_fn=lambda s: None,
+    )
+    params = trainer.run()
+    res = Tester(m, params, data, chunk_size=4).run_link_prediction(log_fn=lambda s: None)
+    assert res.hit10 > 0.9, res
