@@ -70,12 +70,18 @@ def main(argv=None):
     if args.synthetic:
         import tempfile
 
-        from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+        from skghoi_tpu.data.synthetic import make_synthetic_hicodet, make_synthetic_vcoco
 
         root = tempfile.mkdtemp(prefix="skghoi_synth_")
-        make_synthetic_hicodet(root, "train2015", num_images=8)
+        if args.dataset == "hicodet":
+            part = "train2015"
+            make_synthetic_hicodet(root, part, num_images=8)
+        else:
+            part = "train"
+            make_synthetic_vcoco(root, part, num_images=8)
+        args.partitions = [part]
         args.data_root = root
-        args.train_detection_dir = os.path.join(root, "detections_train2015")
+        args.train_detection_dir = os.path.join(root, f"detections_{part}")
         args.val_detection_dir = args.train_detection_dir
         factory_kwargs = dict(
             min_size=64, max_size=107, canvas_landscape=(64, 96), canvas_portrait=(96, 64)
