@@ -38,8 +38,11 @@ EXAMPLES = {
         model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
     ),
+    # NOTE: OpenKE's WN18RR example uses regul_rate 1.0, which on FB15K237
+    # collapses DistMult (Hits@10 0.068); 0.05 reproduces the published 0.419
+    # (we measured 0.411 with this preset on one v5e chip).
     "distmult_fb15k237": dict(
-        model="distmult", dim=200, loss="softplus", regul_rate=1.0,
+        model="distmult", dim=200, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
     "complex_fb15k237": dict(
