@@ -38,7 +38,8 @@ EXAMPLES = {
         model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
     ),
-    # NOTE: OpenKE's WN18RR example uses regul_rate 1.0, which on FB15K237
+    # NOTE (applies to all bilinear FB15K237 presets below):
+    # OpenKE's WN18RR example uses regul_rate 1.0, which on FB15K237
     # collapses DistMult (Hits@10 0.068); 0.05 reproduces the published 0.419
     # (we measured 0.411 with this preset on one v5e chip).
     "distmult_fb15k237": dict(
@@ -46,15 +47,15 @@ EXAMPLES = {
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
     "complex_fb15k237": dict(
-        model="complex", dim=200, loss="softplus", regul_rate=1.0,
+        model="complex", dim=200, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
     "analogy_fb15k237": dict(
-        model="analogy", dim=200, loss="softplus", regul_rate=1.0,
+        model="analogy", dim=200, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
     "simple_fb15k237": dict(
-        model="simple", dim=200, loss="softplus", regul_rate=1.0,
+        model="simple", dim=200, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
     "rescal_fb15k237": dict(
@@ -66,7 +67,7 @@ EXAMPLES = {
         nbatches=100, neg_ent=25, bern=False, epochs=1000, alpha=2e-5, opt="adam",
     ),
     "hole_fb15k237": dict(
-        model="hole", dim=100, loss="softplus", regul_rate=1.0,
+        model="hole", dim=100, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
     ),
 }
