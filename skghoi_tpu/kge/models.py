@@ -268,8 +268,9 @@ class TransR(KGEModel):
             diff = anchor_p[None, :] + re[None, :] - ents_p
         else:
             diff = ents_p + re[None, :] - anchor_p[None, :]
-        dist = _p_norm(diff, self.p_norm)
-        return self.margin - dist if self.margin is not None else dist
+        # rank_scores() is lower-is-better (it undoes the margin shift), so the
+        # fast path must return the raw distance regardless of margin mode.
+        return _p_norm(diff, self.p_norm)
 
     def rank_all_tails(self, h: Array, r: Array) -> Array:
         return self._rank_all(h, r, anchor_is_head=True)

@@ -10,10 +10,15 @@ structural facts:
    RoIAlign of one box is exactly ``A_y @ patch @ A_x^T`` with
    ``A_y, A_x : [7, P]`` sparse interpolation matrices over a ``P x P``
    feature patch.  Two small MXU matmuls replace 784 scalar gathers.
-2. **The FPN level assignment bounds the patch.**  A box's span at its
-   assigned level is at most ~45 cells (canonical-scale mapping + the 1344-px
-   canvas at stride 32), so a fixed 48x48 window always covers the sampled
-   region.
+2. **The FPN level assignment bounds the patch for almost every box.**  The
+   canonical-scale mapping keeps a box's span at its assigned level under
+   ~``28*sqrt(aspect)`` cells, so a fixed 48x56 window covers every box of
+   aspect ratio up to ~2.7 — the overwhelming majority.  Extreme boxes (a
+   900x100 ski, a tiny-but-long bench clamped to P2) can overflow the window;
+   :func:`roi_align_exact` detects them with an exact per-box coverage test
+   and routes *only those boxes* through the differentiable gather path under
+   a ``lax.cond``, so the hot path pays nothing when no box overflows and the
+   semantics match torchvision's ``roi_align`` for every box.
 
 Per grid step (one box), the kernel DMAs the assigned level's ``48 x 48 x C``
 window from HBM into VMEM — the level id and window origin arrive via scalar
@@ -112,23 +117,16 @@ def _kernel(lvl_ref, y0_ref, x0_ref, b_ref, ay_ref, ax_ref, f0, f1, f2, f3, out_
     out_ref[0] = jnp.swapaxes(t2.reshape(7, 7, c), 0, 1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
-def pallas_multiscale_roi_align(
-    feature_maps: Sequence[Array],
-    boxes: Array,
-    strides: Sequence[int] = (4, 8, 16, 32),
-    interpret: bool = False,
-) -> Array:
-    """RoIAlign ``[B, N, 4]`` boxes over batched FPN maps -> ``[B, N, 7, 7, C]``.
+def _box_geometry(sizes: np.ndarray, boxes: Array, strides: Sequence[int]):
+    """Shared window geometry: levels, window origins, interpolation matrices,
+    and the exact per-box window-overflow flag.
 
-    ``feature_maps``: four ``[B, H_l, W_l, C]`` arrays, finest first.
+    ``sizes``: ``[4, 2]`` true (unpadded) per-level spatial extents.
+    Returns ``(levels, y0, x0, ay, ax, overflow)`` with leading dim ``B*N``.
     """
-    bsz, n = boxes.shape[:2]
-    c = feature_maps[0].shape[-1]
     flat_boxes = boxes.reshape(-1, 4)
     levels = fpn_level_assignment(flat_boxes)  # [B*N]
 
-    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])  # true sizes
     scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
     hs = jnp.asarray(sizes[:, 0], jnp.float32)[levels]
     ws = jnp.asarray(sizes[:, 1], jnp.float32)[levels]
@@ -150,6 +148,36 @@ def pallas_multiscale_roi_align(
 
     ay = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH))(y1, roi_h, y0, hs)
     ax = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH_W))(x1, roi_w, x0, ws)
+
+    # Exact coverage test.  The window origin never under-covers on the left
+    # (it sits at floor(start)-1, only ever moved further left by clipping or
+    # lane alignment), so the only failure mode is the right/bottom edge: the
+    # highest cell that receives interpolation weight is
+    # ``min(floor(clip(start+len, 0, size-1)) + 1, size-1)``.
+    ymax = jnp.minimum(jnp.floor(jnp.clip(y1 + roi_h, 0.0, hs - 1.0)) + 1.0, hs - 1.0)
+    xmax = jnp.minimum(jnp.floor(jnp.clip(x1 + roi_w, 0.0, ws - 1.0)) + 1.0, ws - 1.0)
+    overflow = (ymax > y0.astype(jnp.float32) + PATCH - 1) | (
+        xmax > x0.astype(jnp.float32) + PATCH_W - 1
+    )
+    return levels, y0, x0, ay, ax, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "interpret"))
+def pallas_multiscale_roi_align(
+    feature_maps: Sequence[Array],
+    boxes: Array,
+    strides: Sequence[int] = (4, 8, 16, 32),
+    interpret: bool = False,
+) -> Array:
+    """RoIAlign ``[B, N, 4]`` boxes over batched FPN maps -> ``[B, N, 7, 7, C]``.
+
+    ``feature_maps``: four ``[B, H_l, W_l, C]`` arrays, finest first.
+    """
+    bsz, n = boxes.shape[:2]
+    c = feature_maps[0].shape[-1]
+
+    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])  # true sizes
+    levels, y0, x0, ay, ax, _ = _box_geometry(sizes, boxes, strides)
 
     # Pad coarse maps so a full window always exists.
     padded = []
@@ -198,26 +226,8 @@ def _roi_backward(feature_maps, boxes, g, strides=(4, 8, 16, 32)):
     """
     bsz, n = boxes.shape[:2]
     c = feature_maps[0].shape[-1]
-    flat_boxes = boxes.reshape(-1, 4)
-    levels = fpn_level_assignment(flat_boxes)
     sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])
-    scale = jnp.asarray([1.0 / s for s in strides], jnp.float32)[levels]
-    hs = jnp.asarray(sizes[:, 0], jnp.float32)[levels]
-    ws = jnp.asarray(sizes[:, 1], jnp.float32)[levels]
-    x1 = flat_boxes[:, 0] * scale
-    y1 = flat_boxes[:, 1] * scale
-    roi_w = jnp.maximum(flat_boxes[:, 2] * scale - x1, 1.0)
-    roi_h = jnp.maximum(flat_boxes[:, 3] * scale - y1, 1.0)
-
-    def origin(start, extent, patch, align=1):
-        o = jnp.floor(start) - 1.0
-        o = jnp.clip(o, 0.0, jnp.maximum(extent - patch, 0.0))
-        return ((o.astype(jnp.int32)) // align) * align
-
-    y0 = origin(y1, hs, PATCH)
-    x0 = origin(x1, ws, PATCH_W, _LANE_TILE)
-    ay = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH))(y1, roi_h, y0, hs)
-    ax = jax.vmap(lambda s, l, o, sz: _axis_weights(s, l, o, sz, 7, 2, PATCH_W))(x1, roi_w, x0, ws)
+    levels, y0, x0, ay, ax, _ = _box_geometry(sizes, boxes, strides)
 
     g_flat = g.reshape(-1, 7, 7, c).astype(jnp.float32)
     # Per-box window gradient [B*N, PATCH, PATCH_W, C].
@@ -243,25 +253,62 @@ def _roi_backward(feature_maps, boxes, g, strides=(4, 8, 16, 32)):
     return tuple(grads)
 
 
-@jax.custom_vjp
-def pallas_roi_align_trainable(feature_maps, boxes):
-    return pallas_multiscale_roi_align(tuple(feature_maps), boxes)
+@functools.lru_cache(maxsize=None)
+def _make_trainable(interpret: bool):
+    @jax.custom_vjp
+    def fn(feature_maps, boxes):
+        return pallas_multiscale_roi_align(tuple(feature_maps), boxes, interpret=interpret)
+
+    def _fwd(feature_maps, boxes):
+        return fn(feature_maps, boxes), (feature_maps, boxes)
+
+    def _bwd(res, g):
+        feature_maps, boxes = res
+        return _roi_backward(feature_maps, boxes, g), jnp.zeros_like(boxes)
+
+    fn.defvjp(_fwd, _bwd)
+    return fn
 
 
-def _fwd(feature_maps, boxes):
-    return pallas_roi_align_trainable(feature_maps, boxes), (feature_maps, boxes)
+def pallas_roi_align_trainable(feature_maps, boxes, interpret: bool = False):
+    return _make_trainable(bool(interpret))(feature_maps, boxes)
 
 
-def _bwd(res, g):
-    feature_maps, boxes = res
-    return _roi_backward(feature_maps, boxes, g), jnp.zeros_like(boxes)
+def _gather_path(feature_maps, boxes):
+    return jax.vmap(lambda *fms_b: multiscale_roi_align(fms_b[:-1], fms_b[-1]))(
+        *feature_maps, boxes
+    )
 
 
-pallas_roi_align_trainable.defvjp(_fwd, _bwd)
+def roi_align_exact(feature_maps: Sequence[Array], boxes: Array, interpret: bool = False) -> Array:
+    """Pallas fast path with an exact rescue for window-overflowing boxes.
+
+    Boxes whose sampled span exceeds the fixed VMEM window (aspect ratio
+    beyond ~2.7 at the assigned level — standing persons, skis, benches) get
+    their pooled features recomputed through the differentiable gather path;
+    everything else comes from the kernel.  The gather branch only executes
+    when at least one box in the batch overflows (``lax.cond``), so the
+    common case pays nothing.  Gradients are exact for both populations: the
+    ``where`` masks the cotangent reaching the kernel's VJP, and the gather
+    branch is plain differentiable XLA.
+    """
+    feature_maps = tuple(feature_maps)
+    fast = pallas_roi_align_trainable(feature_maps, boxes, interpret)
+    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in feature_maps])
+    *_, overflow = _box_geometry(sizes, boxes, (4, 8, 16, 32))
+    bsz, n = boxes.shape[:2]
+    mask = overflow.reshape(bsz, n, 1, 1, 1)
+
+    def rescue(ops):
+        fms, fast_out = ops
+        slow = _gather_path(fms, jax.lax.stop_gradient(boxes))
+        return jnp.where(mask, slow.astype(fast_out.dtype), fast_out)
+
+    return jax.lax.cond(jnp.any(overflow), rescue, lambda ops: ops[1], (feature_maps, fast))
 
 
 def roi_align_auto(feature_maps: Sequence[Array], boxes: Array) -> Array:
-    """Pallas kernel (with custom VJP) on TPU, gather fallback elsewhere."""
+    """Pallas kernel (exact, with custom VJP) on TPU, gather fallback elsewhere."""
     if jax.default_backend() == "tpu":
-        return pallas_roi_align_trainable(tuple(feature_maps), boxes)
-    return jax.vmap(lambda f, b: multiscale_roi_align(f, b))(tuple(feature_maps), boxes)
+        return roi_align_exact(tuple(feature_maps), boxes)
+    return _gather_path(tuple(feature_maps), boxes)

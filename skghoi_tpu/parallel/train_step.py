@@ -52,8 +52,22 @@ def build_train_step(
             return total, (losses, out)
 
         (total, (losses, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # The reference checks the loss BEFORE backward (utils.py:218-219), so a
+        # NaN iteration never touches parameters.  Replicate that on device:
+        # apply the update only when both the loss and every gradient are
+        # finite; otherwise keep params/opt_state unchanged (the engine still
+        # raises on host from the returned loss).
+        grads_ok = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)])
+        )
+        ok = jnp.isfinite(total) & grads_ok
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        params = keep(new_params, params)
+        opt_state = keep(new_opt_state, opt_state)
         return params, opt_state, total, losses, out
 
     return train_step

@@ -154,3 +154,18 @@ def test_transr_rank_all_matches_generic_broadcast():
     )
     fast_h = m.apply(params, t, r, method="rank_all_heads")
     np.testing.assert_allclose(np.asarray(fast_h), np.asarray(generic_h), rtol=1e-5, atol=1e-6)
+
+
+def test_transr_rank_all_margin_mode_matches_rank_scores():
+    """Advisor round-1 low: with margin set, _rank_all must stay lower-is-better
+    (rank_scores contract), not return margin - dist."""
+    m = TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2, p_norm=1, norm_flag=True,
+               margin=4.0)
+    params = m.init(KEY, H, T, REL)
+    ents = jnp.arange(E, dtype=jnp.int32)
+    h, r = jnp.asarray(2, jnp.int32), jnp.asarray(1, jnp.int32)
+    generic = m.apply(
+        params, jnp.full((E,), h), ents, jnp.full((E,), r), method="rank_scores"
+    )
+    fast = m.apply(params, h, r, method="rank_all_tails")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(generic), rtol=1e-5, atol=1e-6)

@@ -63,3 +63,67 @@ def test_custom_backward_matches_gather_grad():
     for l, (a, b) in enumerate(zip(got, want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
                                    err_msg=f"level {l}")
+
+
+def test_high_aspect_box_overflow_rescue():
+    """A 900x100-px box at a large canvas overflows the fixed VMEM window at
+    its assigned FPN level; roi_align_exact must route it through the gather
+    path and match the reference exactly (advisor round-1 high finding)."""
+    from skghoi_tpu.ops.pallas_roi_align import roi_align_exact, _box_geometry
+
+    rng = np.random.default_rng(7)
+    canvas = (832, 1344)
+    fms = [
+        jnp.asarray(rng.normal(size=(1, canvas[0] // s, canvas[1] // s, 8)).astype(np.float32))
+        for s in (4, 8, 16, 32)
+    ]
+    boxes = jnp.asarray(
+        [
+            [
+                [100.0, 300.0, 1000.0, 400.0],  # 900x100 -> P4, span 56 cells: overflow
+                [40.0, 700.0, 1340.0, 760.0],   # 1300x60 thin strip -> clamps fine? check mask
+                [200.0, 200.0, 400.0, 500.0],   # ordinary box: fast path
+                [0.0, 0.0, 0.0, 0.0],           # padding slot
+            ]
+        ]
+    )
+    sizes = np.asarray([(fm.shape[1], fm.shape[2]) for fm in fms])
+    *_, overflow = _box_geometry(sizes, boxes, (4, 8, 16, 32))
+    overflow = np.asarray(overflow).reshape(1, 4)
+    assert overflow[0, 0], "the 900x100 box must be detected as window-overflowing"
+    assert not overflow[0, 2] and not overflow[0, 3]
+
+    want = jax.vmap(lambda f, bx: multiscale_roi_align(f, bx))(tuple(fms), boxes)
+    got = roi_align_exact(tuple(fms), boxes, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # And the plain kernel output for the overflowing box must differ -> the
+    # rescue is actually doing something, not vacuously passing.
+    raw = pallas_multiscale_roi_align(tuple(fms), boxes, interpret=True)
+    assert not np.allclose(np.asarray(raw)[0, 0], np.asarray(want)[0, 0], atol=1e-4)
+
+
+def test_overflow_rescue_gradients_exact():
+    from skghoi_tpu.ops.pallas_roi_align import roi_align_exact
+
+    rng = np.random.default_rng(11)
+    canvas = (832, 1344)
+    fms = tuple(
+        jnp.asarray(rng.normal(size=(1, canvas[0] // s, canvas[1] // s, 4)).astype(np.float32))
+        for s in (4, 8, 16, 32)
+    )
+    boxes = jnp.asarray([[[100.0, 300.0, 1000.0, 400.0], [200.0, 200.0, 400.0, 500.0]]])
+    g = jnp.asarray(rng.normal(size=(1, 2, 7, 7, 4)).astype(np.float32))
+
+    def loss_fast(f):
+        return jnp.sum(roi_align_exact(f, boxes, interpret=True) * g)
+
+    def loss_ref(f):
+        out = jax.vmap(lambda ff, bx: multiscale_roi_align(ff, bx))(f, boxes)
+        return jnp.sum(out * g)
+
+    got = jax.grad(loss_fast)(fms)
+    want = jax.grad(loss_ref)(fms)
+    for l, (a, b) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                                   err_msg=f"level {l}")
