@@ -25,14 +25,33 @@ EXAMPLES = {
         model="transh", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
     ),
+    # WN18RR has no shipped Trans* example scripts; these carry the FB15K237
+    # configs onto WN18RR (the published README table rows).
+    "transh_wn18rr": dict(
+        model="transh", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
+    ),
+    "transr_wn18rr": dict(
+        model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+        score_chunk=4096, transe_init_epochs=1,
+    ),
+    "transd_wn18rr": dict(
+        model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+    ),
     # hoi_linearH.py: TransH for the HOI knowledge graph (dim 200, margin 4)
     "transh_hoi": dict(
         model="transh", dim=200, p_norm=2, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=500, alpha=0.5, opt="sgd",
     ),
+    # train_transr_FB15K237.py:24-60 — published 0.511 requires the 1-epoch
+    # TransE warm start; score_chunk bounds the per-triple matrix gather so
+    # dim-200 training fits single-chip HBM.
     "transr_fb15k237": dict(
         model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+        score_chunk=4096, transe_init_epochs=1,
     ),
     "transd_fb15k237": dict(
         model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
@@ -69,5 +88,41 @@ EXAMPLES = {
     "hole_fb15k237": dict(
         model="hole", dim=100, loss="softplus", regul_rate=0.05,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    # --- WN18RR example scripts (examples/train_*_WN18RR.py) ---
+    # distmult/complex/analogy/simple: dim 200, softplus, regul 1.0, adagrad
+    # 0.5, 2000 epochs (regul 1.0 is correct on WN18RR; see FB15K237 note).
+    "distmult_wn18rr": dict(
+        model="distmult", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=2000, alpha=0.5, opt="adagrad",
+    ),
+    "complex_wn18rr": dict(
+        model="complex", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=2000, alpha=0.5, opt="adagrad",
+    ),
+    "analogy_wn18rr": dict(
+        model="analogy", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=2000, alpha=0.5, opt="adagrad",
+    ),
+    "simple_wn18rr": dict(
+        model="simple", dim=200, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=2000, alpha=0.5, opt="adagrad",
+    ),
+    "hole_wn18rr": dict(
+        model="hole", dim=100, loss="softplus", regul_rate=1.0,
+        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="adagrad",
+    ),
+    # train_rotate_WN18RR_adv.py: batch 2000 (~43 nbatches of 86835 triples),
+    # neg 64, sigmoid adv T=2, adam 2e-5, 6000 epochs — published 0.565.
+    "rotate_wn18rr_adv": dict(
+        model="rotate", dim=1024, margin=6.0, loss="sigmoid", adv_temperature=2.0,
+        nbatches=43, neg_ent=64, bern=False, epochs=6000, alpha=2e-5, opt="adam",
+    ),
+    # train_distmult_WN18RR_adv.py: dim 1024, sigmoid adv T=0.5, l3 5e-6,
+    # adam 0.002, 400 epochs, batch 2000, neg 64.
+    "distmult_wn18rr_adv": dict(
+        model="distmult", dim=1024, loss="sigmoid", adv_temperature=0.5,
+        l3_regul_rate=5e-6, nbatches=43, neg_ent=64, bern=False, epochs=400,
+        alpha=0.002, opt="adam",
     ),
 }

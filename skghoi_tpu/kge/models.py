@@ -216,6 +216,12 @@ class TransR(KGEModel):
     norm_flag: bool = True
     rand_init: bool = False
     margin: Optional[float] = None
+    # Training-side memory bound: gathering one [dim_e, dim_r] matrix per
+    # triple costs batch*dim_e*dim_r*4 bytes (10.9 GB for FB15K237's 68k-triple
+    # batches at dim 200 — the round-1 OOM).  With ``score_chunk`` set, score()
+    # lax.maps over fixed-size chunks under jax.checkpoint, so the peak is one
+    # chunk's gather and the backward recomputes instead of storing.
+    score_chunk: Optional[int] = None
 
     def setup(self):
         self.ent_embeddings = nn.Embed(
@@ -230,7 +236,7 @@ class TransR(KGEModel):
             embedding_init=_transr_matrix_init(self.rel_tot, self.dim_e, self.dim_r, self.rand_init),
         )
 
-    def score(self, h, t, r):
+    def _score_direct(self, h, t, r):
         he = self.ent_embeddings(h)
         te = self.ent_embeddings(t)
         re = self.rel_embeddings(r)
@@ -243,6 +249,22 @@ class TransR(KGEModel):
         if self.margin is not None:
             return self.margin - dist
         return dist
+
+    def score(self, h, t, r):
+        shape = jnp.broadcast_shapes(h.shape, t.shape, r.shape)
+        n = int(math.prod(shape)) if shape else 1
+        if self.score_chunk is None or n <= self.score_chunk:
+            return self._score_direct(h, t, r)
+        chunk = self.score_chunk
+        flat = [jnp.broadcast_to(x, shape).reshape(-1) for x in (h, t, r)]
+        pad = (-n) % chunk
+        if pad:
+            flat = [jnp.pad(x, (0, pad)) for x in flat]
+        chunks = [x.reshape(-1, chunk) for x in flat]
+        out = jax.lax.map(
+            jax.checkpoint(lambda c: self._score_direct(*c)), tuple(chunks)
+        )
+        return out.reshape(-1)[:n].reshape(shape)
 
     def rank_scores(self, h, t, r):
         s = self.score(h, t, r)

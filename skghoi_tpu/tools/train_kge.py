@@ -50,7 +50,7 @@ from skghoi_tpu.kge.sampling import DeviceKG
 MODELS = {
     "transe": lambda a, d: TransE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
     "transh": lambda a, d: TransH(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
-    "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, score_chunk=a.score_chunk),
     "transd": lambda a, d: TransD(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
     "distmult": lambda a, d: DistMult(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
     "complex": lambda a, d: ComplEx(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
@@ -87,6 +87,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=1.0, help="learning rate")
     p.add_argument("--opt", default="sgd", choices=["sgd", "adam", "adagrad", "adadelta"])
     p.add_argument("--regul-rate", type=float, default=0.0)
+    p.add_argument("--l3-regul-rate", type=float, default=0.0)
+    p.add_argument("--score-chunk", type=int, default=None,
+                   help="TransR: chunked+rematerialized scoring (memory bound)")
+    p.add_argument("--transe-init-epochs", type=int, default=0,
+                   help="TransR published recipe: pretrain TransE this many "
+                        "epochs (margin 5.0, alpha 0.5, SGD) and copy its "
+                        "entity/relation tables in (train_transr_FB15K237.py)")
+    p.add_argument("--json-out", default=None,
+                   help="append the JSON result line to this file")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None, help="save final params here")
     p.add_argument("--eval-chunk", type=int, default=16)
@@ -121,7 +130,34 @@ def main(argv=None):
 
     model = MODELS[args.model](args, data)
     params = model.init(jax.random.PRNGKey(args.seed), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
-    strategy = NegativeSampling(loss=LOSSES[args.loss](args), regul_rate=args.regul_rate)
+
+    if args.transe_init_epochs > 0:
+        # Published TransR recipe (train_transr_FB15K237.py:24-56): 1 epoch of
+        # TransE(dim, p1, norm) with MarginLoss(5.0)/SGD(0.5), then copy the
+        # entity/relation tables into TransR (transfer matrices stay identity).
+        print(f"Pretraining TransE for {args.transe_init_epochs} epoch(s) to seed {args.model}")
+        pre_model = TransE(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=args.dim,
+                           p_norm=args.p_norm, norm_flag=True)
+        pre_params = pre_model.init(
+            jax.random.PRNGKey(args.seed), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1]
+        )
+        pre_strategy = NegativeSampling(loss=MarginLoss(margin=5.0))
+        pre = Trainer(
+            pre_model, pre_params, pre_strategy, kg,
+            nbatches=args.nbatches, neg_rate=args.neg_ent, bern=args.bern,
+            filtered=not args.no_filter, train_times=args.transe_init_epochs,
+            alpha=0.5, opt_method="sgd", seed=args.seed,
+        )
+        pre_params = pre.run()
+        p = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        p["params"]["ent_embeddings"]["embedding"] = pre_params["params"]["ent_embeddings"]["embedding"]
+        p["params"]["rel_embeddings"]["embedding"] = pre_params["params"]["rel_embeddings"]["embedding"]
+        params = p
+
+    strategy = NegativeSampling(
+        loss=LOSSES[args.loss](args), regul_rate=args.regul_rate,
+        l3_regul_rate=args.l3_regul_rate,
+    )
 
     trainer = Trainer(
         model, params, strategy, kg,
@@ -144,13 +180,20 @@ def main(argv=None):
         res = tester.run_link_prediction(type_constrain=args.type_constrain)
         eval_time = time.time() - t0
         print(f"Evaluation: {eval_time:.1f}s for {2 * len(data.test)} ranking queries")
-        if args.json:
-            print(json.dumps({
+        if args.json or args.json_out:
+            line = json.dumps({
                 "model": args.model, "data": args.data,
+                "example": args.example, "seed": args.seed,
+                "cli": vars(args),
                 "mrr": res.mrr, "mr": res.mr,
                 "hit10": res.hit10, "hit3": res.hit3, "hit1": res.hit1,
                 "train_seconds": train_time, "steps_per_second": steps / max(train_time, 1e-9),
-            }))
+            })
+            if args.json:
+                print(line)
+            if args.json_out:
+                with open(args.json_out, "a") as f:
+                    f.write(line + "\n")
         return res
     return None
 

@@ -169,3 +169,31 @@ def test_transr_rank_all_margin_mode_matches_rank_scores():
     )
     fast = m.apply(params, h, r, method="rank_all_tails")
     np.testing.assert_allclose(np.asarray(fast), np.asarray(generic), rtol=1e-5, atol=1e-6)
+
+
+def test_transr_chunked_score_matches_direct():
+    """score_chunk must be a pure memory optimization: identical values and
+    gradients, including with padding (batch not divisible by chunk)."""
+    import jax
+
+    m_direct = TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2)
+    m_chunk = TransR(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2, score_chunk=4)
+    params = m_direct.init(KEY, H, T, REL)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.integers(0, E, (3, 7)), jnp.int32)
+    t = jnp.asarray(rng.integers(0, E, (3, 7)), jnp.int32)
+    r = jnp.asarray(rng.integers(0, R, (3, 7)), jnp.int32)
+
+    want = m_direct.apply(params, h, t, r)
+    got = m_chunk.apply(params, h, t, r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def loss(p, model):
+        return jnp.sum(model.apply(p, h, t, r) ** 2)
+
+    g_want = jax.grad(loss)(params, m_direct)
+    g_got = jax.grad(loss)(params, m_chunk)
+    for ka, kb in zip(
+        jax.tree_util.tree_leaves(g_got), jax.tree_util.tree_leaves(g_want)
+    ):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-5, atol=1e-6)
