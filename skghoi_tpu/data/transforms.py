@@ -8,6 +8,16 @@ padding each batch to its own max size (a new XLA program per batch), images
 are pasted into one of two fixed canvases (landscape 832x1344 / portrait
 1344x832, multiples of 32) so the backbone compiles exactly twice.
 Normalization happens on device inside the model.
+
+Exactness notes (round-2 parity fixes):
+
+- :func:`bilinear_resize` replicates ``F.interpolate(mode='bilinear',
+  align_corners=False, antialias=False)`` — the reference's resize
+  (``transforms.py:40-46``) — to float precision.  PIL's BILINEAR applies an
+  area/antialias filter when downscaling, which the reference does NOT.
+- The canvas is filled with the ImageNet mean pixel: torchvision normalizes
+  *before* padding, so its pad region is exactly zero in normalized space.
+  Filling with the mean reproduces that after our on-device normalization.
 """
 
 from __future__ import annotations
@@ -17,6 +27,28 @@ from typing import Tuple
 import numpy as np
 
 from skghoi_tpu import constants as C
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """``F.interpolate(img, size, mode='bilinear', align_corners=False)`` in
+    numpy: source position ``(i + 0.5) * in/out - 0.5`` clamped to the edge,
+    2x2 neighbour interpolation, no antialiasing.  ``img``: [H, W, C] float."""
+    in_h, in_w = img.shape[:2]
+    img = np.asarray(img, np.float32)
+
+    def axis_coords(out_n, in_n):
+        src = (np.arange(out_n, dtype=np.float64) + 0.5) * (in_n / out_n) - 0.5
+        src = np.clip(src, 0.0, in_n - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, in_n - 1)
+        frac = (src - lo).astype(np.float32)
+        return lo, hi, frac
+
+    y0, y1, fy = axis_coords(out_h, in_h)
+    x0, x1, fx = axis_coords(out_w, in_w)
+    top = img[y0][:, x0] * (1 - fx)[None, :, None] + img[y0][:, x1] * fx[None, :, None]
+    bot = img[y1][:, x0] * (1 - fx)[None, :, None] + img[y1][:, x1] * fx[None, :, None]
+    return top * (1 - fy)[:, None, None] + bot * fy[:, None, None]
 
 
 def resize_scale(
@@ -48,19 +80,22 @@ def prepare_image(
     min_size: int = C.IMAGE_MIN_SIZE,
     max_size: int = C.IMAGE_MAX_SIZE,
 ) -> Tuple[np.ndarray, Tuple[int, int], float]:
-    """Resize a PIL image and paste it into ``canvas`` (top-left anchored).
+    """Resize a PIL image (exact ``F.interpolate`` bilinear semantics) and
+    paste it into ``canvas`` (top-left anchored).
 
-    Returns (float32 [Hc, Wc, 3] in [0, 1], (new_h, new_w), scale).
+    Returns (float32 [Hc, Wc, 3], (new_h, new_w), scale).  The canvas is
+    filled with the ImageNet mean pixel so the pad region normalizes to zero
+    (torchvision pads after normalization).
     """
-    from PIL import Image
-
     w, h = pil_image.size
     scale = resize_scale(h, w, min_size, max_size)
     nh, nw = resized_size(h, w, scale)
     nh, nw = min(nh, canvas[0]), min(nw, canvas[1])
-    resized = pil_image.resize((nw, nh), resample=Image.BILINEAR)
-    out = np.zeros((canvas[0], canvas[1], 3), np.float32)
-    out[:nh, :nw] = np.asarray(resized, np.float32) / 255.0
+    src = np.asarray(pil_image.convert("RGB"), np.float32) / 255.0
+    resized = bilinear_resize(src, nh, nw)
+    out = np.empty((canvas[0], canvas[1], 3), np.float32)
+    out[:] = np.asarray(C.IMAGE_MEAN, np.float32)
+    out[:nh, :nw] = resized
     return out, (nh, nw), scale
 
 

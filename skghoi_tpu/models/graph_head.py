@@ -93,8 +93,14 @@ class GraphHead(nn.Module):
         self.box_head_fc1 = nn.Dense(ns, dtype=self.dtype)
         self.box_head_fc2 = nn.Dense(ns, dtype=self.dtype)
         self.adjacency = nn.Dense(1, dtype=self.dtype)
-        self.sub_to_obj = MultiBranchFusion(ns, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
-        self.obj_to_sub = MultiBranchFusion(ns, 1024, rep, C.MBF_CARDINALITY, dtype=self.dtype)
+        # MessageMBF: no outer ReLU — the reference applies ReLU only after the
+        # adjacency-softmax weighting (ref :509-527 vs :909-922).
+        self.sub_to_obj = MultiBranchFusion(
+            ns, 1024, rep, C.MBF_CARDINALITY, final_relu=False, dtype=self.dtype
+        )
+        self.obj_to_sub = MultiBranchFusion(
+            ns, 1024, rep, C.MBF_CARDINALITY, final_relu=False, dtype=self.dtype
+        )
         self.norm_h = nn.LayerNorm()
         self.norm_o = nn.LayerNorm()
         self.spatial_fc1 = nn.Dense(C.SPATIAL_HIDDEN[0], dtype=self.dtype)

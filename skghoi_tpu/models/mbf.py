@@ -37,10 +37,16 @@ def _linear_init(fan_in: int):
 
 
 class MultiBranchFusion(nn.Module):
+    """``final_relu=True`` is the reference ``MultiBranchFusion`` (``:469-474``,
+    outer ReLU); ``final_relu=False`` is ``MessageMBF`` (``:509-527``), whose
+    branch sum is returned raw — the ReLU there happens only after the
+    adjacency weighting (``:909-922``)."""
+
     appearance_size: int
     spatial_size: int
     representation_size: int
     cardinality: int = 16
+    final_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,4 +73,4 @@ class MultiBranchFusion(nn.Module):
         out = jnp.einsum("...ks,ksr->...r", h, w3.astype(self.dtype)) + jnp.sum(
             b3, axis=0
         ).astype(self.dtype)
-        return nn.relu(out)
+        return nn.relu(out) if self.final_relu else out

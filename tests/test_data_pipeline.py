@@ -114,3 +114,44 @@ def test_flip_consistency(tmp_path_factory):
     np.testing.assert_allclose(
         b["gt_boxes_h"][:, 0], (w_orig - a["gt_boxes_h"][:, 2] / scale) * scale, rtol=1e-4
     )
+
+
+def test_bilinear_resize_matches_torch_interpolate():
+    """bilinear_resize must replicate the reference resize exactly:
+    F.interpolate(..., mode='bilinear', align_corners=False,
+    recompute_scale_factor=True) (ref transforms.py:40-46)."""
+    import torch
+    import torch.nn.functional as TF
+    from skghoi_tpu.data.transforms import bilinear_resize, resize_scale, resized_size
+
+    rng = np.random.default_rng(0)
+    for (h, w) in [(480, 640), (333, 500), (1024, 683), (57, 1203)]:
+        img = rng.random((h, w, 3)).astype(np.float32)
+        scale = resize_scale(h, w)
+        nh, nw = resized_size(h, w, scale)
+        want = TF.interpolate(
+            torch.from_numpy(img).permute(2, 0, 1)[None],
+            scale_factor=scale, mode="bilinear", align_corners=False,
+            recompute_scale_factor=True,
+        )[0].permute(1, 2, 0).numpy()
+        assert want.shape[:2] == (nh, nw), (want.shape, nh, nw)
+        got = bilinear_resize(img, nh, nw)
+        # torch's CPU kernel rounds interpolation weights to float32 in a
+        # slightly different order; the residual (<=5e-5 on a [0,1] scale) is
+        # ~80x below one uint8 quantization step.
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_canvas_pad_region_is_mean_pixel():
+    from PIL import Image
+    from skghoi_tpu import constants as C
+    from skghoi_tpu.data.transforms import prepare_image
+
+    img = Image.new("RGB", (640, 480), (200, 30, 90))
+    out, (nh, nw), _ = prepare_image(img, C.CANVAS_LANDSCAPE)
+    np.testing.assert_allclose(
+        out[nh:, :], np.broadcast_to(np.asarray(C.IMAGE_MEAN, np.float32),
+                                     out[nh:, :].shape), atol=1e-6)
+    np.testing.assert_allclose(
+        out[:, nw:], np.broadcast_to(np.asarray(C.IMAGE_MEAN, np.float32),
+                                     out[:, nw:].shape), atol=1e-6)
