@@ -101,8 +101,8 @@ class GraphHead(nn.Module):
         self.obj_to_sub = MultiBranchFusion(
             ns, 1024, rep, C.MBF_CARDINALITY, final_relu=False, dtype=self.dtype
         )
-        self.norm_h = nn.LayerNorm()
-        self.norm_o = nn.LayerNorm()
+        self.norm_h = nn.LayerNorm(epsilon=1e-5)  # torch nn.LayerNorm default
+        self.norm_o = nn.LayerNorm(epsilon=1e-5)
         self.spatial_fc1 = nn.Dense(C.SPATIAL_HIDDEN[0], dtype=self.dtype)
         self.spatial_fc2 = nn.Dense(C.SPATIAL_HIDDEN[1], dtype=self.dtype)
         self.spatial_fc3 = nn.Dense(C.SPATIAL_HIDDEN[2], dtype=self.dtype)
