@@ -11,11 +11,14 @@ closed by a single scalar fetch to host.  This is immune to async-dispatch
 pipelining artifacts and amortizes the host<->device round trip, so the
 number reflects true device throughput.
 
-``vs_baseline``: the reference repo publishes no end-to-end SKGHOI latency;
-its closest published figure is the DETR-R50 detector at 0.036 s/img
-(hicodet/detections/README.md:18) — 27.8 img/s on GPU for *stage 1 alone*,
-while the reference's stage 2 is pinned to batch size 1 (utils.py:167).  We
-report our full-pipeline throughput divided by 27.8.
+``vs_baseline``: BASELINE.json targets ">= 5x the PyTorch-CPU baseline".
+That baseline is measured honestly on this machine by
+``skghoi_tpu.tools.bench_torch_baseline`` — the oracle twin (the reference's
+exact stage-2 math in plain torch, proven score-equal in
+tests/test_reference_parity.py) on the same 832x1344 canvas — and cached in
+``BASELINE_TORCH.json``.  Fallback when that file is absent: the reference's
+closest published GPU figure, DETR-R50 at 27.8 img/s for stage 1 alone
+(hicodet/detections/README.md:18).
 
 Prints exactly one JSON line.
 """
@@ -61,8 +64,15 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
 
 
 def main():
+    import os
+
     images_per_sec = measure()
-    baseline = 27.8  # DETR-R50 0.036 s/img (detections/README.md:18)
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = float(json.load(f)["value"])  # measured torch-CPU twin
+    else:
+        baseline = 27.8  # DETR-R50 0.036 s/img (detections/README.md:18)
     print(
         json.dumps(
             {

@@ -49,6 +49,11 @@ def load_library() -> ctypes.CDLL:
     ]
     lib.testHead.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_bool]
     lib.testTail.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_bool]
+    # Pointer args must be declared or ctypes truncates them to 32-bit ints.
+    lib.getHeadBatch.argtypes = [ctypes.c_void_p] * 3
+    lib.getTailBatch.argtypes = [ctypes.c_void_p] * 3
+    lib.getTestBatch.argtypes = [ctypes.c_void_p] * 6
+    lib.getValidBatch.argtypes = [ctypes.c_void_p] * 6
     lib.test_link_prediction.argtypes = [ctypes.c_bool]
     for name in ("getTestLinkMRR", "getTestLinkMR", "getTestLinkHit10", "getTestLinkHit3", "getTestLinkHit1"):
         getattr(lib, name).restype = ctypes.c_float
