@@ -23,6 +23,11 @@ from typing import Dict, List, Sequence, Tuple
 _VOWELS = "aeiou"
 _IRREGULAR_GERUNDS = {
     "no_interaction": "and",
+    # final-syllable stress exceptions to the consonant-doubling rule, plus
+    # ie -> y (verified verbatim against hico_action_ongoing_classes)
+    "exit": "exiting",
+    "open": "opening",
+    "tie": "tying",
     "cut_with": "cutting with",
     "eat_at": "eating at",
     "sit_at": "sitting at",
@@ -60,7 +65,12 @@ def gerund(verb: str) -> str:
 
 
 def article(noun: str) -> str:
-    return "an" if noun.replace("_", " ").strip()[0] in _VOWELS else "a"
+    noun = noun.replace("_", " ").strip()
+    # Reference quirk, kept for verbatim parity: "a umbrella" everywhere
+    # (hicodet/hico_text_label.py — both the pair and the object prompts).
+    if noun == "umbrella":
+        return "a"
+    return "an" if noun[0] in _VOWELS else "a"
 
 
 def pair_prompt(verb: str, obj: str) -> str:
