@@ -2,22 +2,28 @@
 
 The reference defers to the official V-COCO evaluator from its (absent)
 ``vcoco`` submodule: ``VCOCOeval(...)._do_eval(det_file, ovr_thresh=0.5)``
-(``vcoco_evaluation.py:1-10``).  This module reimplements the published
-metric (Gupta & Malik, "Visual Semantic Role Labeling"):
+(``vcoco_evaluation.py:1-10``).  This module ports the official
+``vsrl_eval._do_role_eval`` / ``_do_agent_eval`` matching semantics (Gupta &
+Malik, "Visual Semantic Role Labeling") precisely:
 
 For each action with a role, detections are (person_box, role_box, score)
-triples ranked by score over the whole test set.  A detection is a true
-positive if its person box overlaps an unmatched GT person at IoU >=
-``ovr_thresh`` for that action, and the role condition holds:
+triples ranked by score over the whole test set.  For each detection, every
+GT instance of (image, action) — including already-covered ones — gets a
+joint overlap:
 
-- **scenario 1**: if the GT role object is missing, the predicted role box
-  must itself be "empty" (all zeros / the template's tiny default box);
-  otherwise the role boxes must overlap at IoU >= ``ovr_thresh``.
-- **scenario 2**: if the GT role object is missing, the role prediction is
-  ignored (auto-match); otherwise as above.
+- person overlap ``ov = IoU(person_box, gt_person)``;
+- role overlap ``ov_role``: when the GT role is missing, **scenario 1**
+  demands an *empty* prediction (all-zero or all-NaN role box -> 1.0, else
+  0.0; the CacheTemplate's ``[0, 0, .1, .1]`` tiny box deliberately fails
+  this, as in the official evaluator), **scenario 2** grants 1.0
+  unconditionally; otherwise ``IoU(role_box, gt_role)``;
+- the detection is assigned ``jmax = argmax_j min(ov_j, ov_role_j)``.
 
-AP is area-under-PR with the precision envelope; GT counts are the recall
-denominators.  Agent AP (person box + action score only) is also reported.
+If ``max min-overlap >= ovr_thresh``: TP when ``jmax`` is uncovered (then
+covered), FP when it is — even if another uncovered GT also passes.  AP is
+the all-point precision-envelope integral (``voc_ap``); the recall
+denominator counts every positive GT instance, including missing-role ones.
+Agent AP matches on person IoU alone with the same argmax-then-covered rule.
 
 GT comes from our V-COCO annotation JSON (``instances_vcoco_test.json``):
 per image ``boxes_h``, ``boxes_o`` (zero rows = missing role) and
@@ -37,8 +43,11 @@ from skghoi_tpu.ops.ap import _np_box_iou, ap_from_pr
 
 
 def _is_empty_box(box: np.ndarray) -> bool:
+    """Official vsrl_eval empty-role test: all-zero or all-NaN role box.
+    (The CacheTemplate tiny ``[0, 0, .1, .1]`` default is NOT empty — the
+    official evaluator counts it as a role prediction.)"""
     b = np.asarray(box, np.float64).reshape(-1)[:4]
-    return bool(np.all(b <= 0.11))  # zeros or the CacheTemplate tiny default
+    return bool(np.all(b == 0.0) or np.all(np.isnan(b)))
 
 
 class VCOCOeval:
@@ -89,29 +98,29 @@ class VCOCOeval:
 
             res_a = {}
             for scenario in (1, 2):
-                order = sorted(range(len(rows)), key=lambda i: -rows[i][3])
-                matched = defaultdict(set)
+                order = np.argsort(-np.asarray([r[3] for r in rows], np.float64), kind="stable")
+                covered = defaultdict(set)
                 tp = np.zeros(len(rows))
                 fp = np.zeros(len(rows))
                 for rank, ri in enumerate(order):
-                    img_id, pbox, rbox, score, _ = rows[ri]
+                    img_id, pbox, rbox, _score, _ = rows[ri]
                     gts = self.gt.get((img_id, a_idx), [])
-                    best_j, best_ov = -1, -1.0
+                    # argmax over ALL gt (covered included) of min(ov, ov_role)
+                    ovmax, jmax = -np.inf, -1
                     for j, (ghb, gob) in enumerate(gts):
-                        if j in matched[img_id]:
-                            continue
                         ov_p = _np_box_iou(pbox[None], ghb[None])[0, 0]
-                        if ov_p < ovr_thresh:
-                            continue
-                        gt_role_missing = _is_empty_box(gob)
-                        if gt_role_missing:
-                            ok = _is_empty_box(rbox) if scenario == 1 else True
+                        if _is_empty_box(gob):
+                            if scenario == 1:
+                                ov_role = 1.0 if _is_empty_box(rbox) else 0.0
+                            else:
+                                ov_role = 1.0
                         else:
-                            ok = _np_box_iou(rbox[None], gob[None])[0, 0] >= ovr_thresh
-                        if ok and ov_p > best_ov:
-                            best_ov, best_j = ov_p, j
-                    if best_j >= 0:
-                        matched[img_id].add(best_j)
+                            ov_role = _np_box_iou(rbox[None], gob[None])[0, 0]
+                        min_ov = min(ov_p, ov_role)
+                        if min_ov > ovmax:
+                            ovmax, jmax = min_ov, j
+                    if ovmax >= ovr_thresh and jmax not in covered[img_id]:
+                        covered[img_id].add(jmax)
                         tp[rank] = 1
                     else:
                         fp[rank] = 1
@@ -120,29 +129,27 @@ class VCOCOeval:
                 prec = ctp / np.maximum(ctp + cfp, 1e-12)
                 res_a[f"scenario_{scenario}"] = ap_from_pr(prec, rec, "INT")
 
-            # Agent AP (person box + agent score only)
-            order = sorted(range(len(rows)), key=lambda i: -rows[i][4])
-            matched = defaultdict(set)
+            # Agent AP: person IoU argmax, same covered rule (_do_agent_eval)
+            order = np.argsort(-np.asarray([r[4] for r in rows], np.float64), kind="stable")
+            covered = defaultdict(set)
             tp = np.zeros(len(rows))
             fp = np.zeros(len(rows))
             for rank, ri in enumerate(order):
-                img_id, pbox, _, _, score = rows[ri]
+                img_id, pbox, _, _, _score = rows[ri]
                 gts = self.gt.get((img_id, a_idx), [])
-                hit = -1
+                ovmax, jmax = -np.inf, -1
                 for j, (ghb, _g) in enumerate(gts):
-                    if j in matched[img_id]:
-                        continue
-                    if _np_box_iou(pbox[None], ghb[None])[0, 0] >= ovr_thresh:
-                        hit = j
-                        break
-                if hit >= 0:
-                    matched[img_id].add(hit)
+                    ov = _np_box_iou(pbox[None], ghb[None])[0, 0]
+                    if ov > ovmax:
+                        ovmax, jmax = ov, j
+                if ovmax >= ovr_thresh and jmax not in covered[img_id]:
+                    covered[img_id].add(jmax)
                     tp[rank] = 1
                 else:
                     fp[rank] = 1
             ctp, cfp = np.cumsum(tp), np.cumsum(fp)
             res_a["agent"] = ap_from_pr(
-                ctp / n_gt, ctp / np.maximum(ctp + cfp, 1e-12), "INT"
+                ctp / np.maximum(ctp + cfp, 1e-12), ctp / n_gt, "INT"
             )
             results[a_full] = res_a
 
