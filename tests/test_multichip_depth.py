@@ -1,0 +1,177 @@
+"""Multi-chip depth: multi-step sharded trajectories, checkpointing under
+sharding, and a real 2-process ``jax.distributed`` rendezvous.
+
+Extends ``test_multichip.py`` (one sharded step == single-device math) to the
+properties a pod run actually relies on: the *trajectory* over several
+optimizer steps stays equal under sharding (rtol 5e-4 — float32 reduction
+order is the only difference), an orbax checkpoint written from sharded
+arrays restores into an equal continuation, and two OS processes rendezvous
+through ``skghoi_tpu.parallel.distributed.initialize`` into one global mesh
+(the reference does this with MASTER_ADDR + mp.spawn,
+``configures/hicodet/adamixer_transH_spatial_r50_main.py:26-31,176-179``).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from skghoi_tpu.data import HOIBatch, HOITargets
+from skghoi_tpu.models import SpatiallyConditionedGraph
+from skghoi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from skghoi_tpu.parallel.train_step import build_train_step
+from skghoi_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from skghoi_tpu.train.optimizer import build_optimizer
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+def _make_batch(rng, B=8, M=12, G=2, canvas=(64, 96)):
+    def boxes(n):
+        xy = rng.uniform(0, 30, (B, n, 2))
+        wh = rng.uniform(8, 25, (B, n, 2))
+        return jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+
+    return HOIBatch(
+        images=jnp.asarray(rng.uniform(0, 1, (B, *canvas, 3)), jnp.float32),
+        image_sizes=jnp.asarray(np.tile([list(canvas)], (B, 1)), jnp.float32),
+        original_sizes=jnp.asarray(np.tile([list(canvas)], (B, 1)), jnp.float32),
+        det_boxes=boxes(M),
+        det_labels=jnp.asarray(rng.integers(0, 80, (B, M))).at[:, :4].set(49),
+        det_scores=jnp.asarray(rng.uniform(0.3, 1, (B, M)), jnp.float32),
+        det_valid=jnp.ones((B, M), bool),
+        targets=HOITargets(
+            boxes(G), boxes(G),
+            jnp.asarray(rng.integers(0, 80, (B, G))),
+            jnp.asarray(rng.integers(0, 117, (B, G))),
+            jnp.ones((B, G), bool),
+        ),
+    )
+
+
+def _setup(seed=0):
+    rng = np.random.default_rng(seed)
+    batches = [_make_batch(rng) for _ in range(3)]
+    ovm = jnp.asarray(rng.uniform(size=(80, 117)) < 0.3, jnp.float32)
+    model = SpatiallyConditionedGraph()
+    variables = dict(
+        model.init(jax.random.PRNGKey(0), batches[0], ovm, training=True, rng=jax.random.PRNGKey(1))
+    )
+    params = variables.pop("params")
+    tx = build_optimizer(params, steps_per_epoch=10)
+    return model, tx, ovm, params, variables, tx.init(params), batches
+
+
+@needs_mesh
+def test_multistep_sharded_trajectory_matches_single_device():
+    model, tx, ovm, params, variables, opt_state, batches = _setup()
+    step = build_train_step(model, tx, ovm)
+
+    # Single-device trajectory.
+    p_ref, o_ref = params, opt_state
+    totals_ref = []
+    for i, b in enumerate(batches):
+        p_ref, o_ref, total, _, _ = step(p_ref, variables, o_ref, b, jax.random.PRNGKey(10 + i))
+        totals_ref.append(float(total))
+
+    # Sharded trajectory: same batches, same rngs, params stay replicated.
+    mesh = make_mesh()
+    p_sh = replicate(params, mesh)
+    v_sh = replicate(variables, mesh)
+    o_sh = replicate(opt_state, mesh)
+    totals_sh = []
+    for i, b in enumerate(batches):
+        p_sh, o_sh, total, _, _ = step(p_sh, v_sh, o_sh, shard_batch(b, mesh), jax.random.PRNGKey(10 + i))
+        totals_sh.append(float(total))
+
+    np.testing.assert_allclose(totals_sh, totals_ref, rtol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+@needs_mesh
+def test_checkpoint_roundtrip_under_sharding(tmp_path):
+    model, tx, ovm, params, variables, opt_state, batches = _setup(seed=1)
+    step = build_train_step(model, tx, ovm)
+    mesh = make_mesh()
+    v_sh = replicate(variables, mesh)
+
+    # Two sharded steps straight through — the uninterrupted trajectory.
+    p, o = replicate(params, mesh), replicate(opt_state, mesh)
+    for i, b in enumerate(batches[:2]):
+        p, o, *_ = step(p, v_sh, o, shard_batch(b, mesh), jax.random.PRNGKey(i))
+    straight = jax.tree_util.tree_leaves(p)
+
+    # One sharded step -> save (sharded arrays!) -> restore -> second step.
+    p, o = replicate(params, mesh), replicate(opt_state, mesh)
+    p, o, *_ = step(p, v_sh, o, shard_batch(batches[0], mesh), jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "ckpt_00")
+    save_checkpoint(path, p, o, epoch=0, iteration=1)
+    restored = load_checkpoint(path, jax.tree_util.tree_map(np.asarray, p),
+                               jax.tree_util.tree_map(np.asarray, o))
+    assert int(restored["iteration"]) == 1
+    p2 = replicate(restored["model_state_dict"], mesh)
+    o2 = replicate(restored["optim_state_dict"], mesh)
+    p2, o2, *_ = step(p2, v_sh, o2, shard_batch(batches[1], mesh), jax.random.PRNGKey(1))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p2), straight):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    from skghoi_tpu.parallel.distributed import initialize
+    initialize()  # reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    import jax, jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("data",))
+    # Each process contributes its local shard; the global psum must see all 4.
+    local = jnp.full((2, 1), float(jax.process_index() + 1))
+    arr = jax.make_array_from_process_local_data(NamedSharding(mesh, P("data")), local, (4, 1))
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    expect = 1.0 * 2 + 2.0 * 2
+    assert float(total) == expect, (float(total), expect)
+    print("OK process", jax.process_index(), flush=True)
+    """
+)
+
+
+def test_two_process_distributed_initialize(tmp_path):
+    """Two real OS processes rendezvous via distributed.initialize into one
+    4-device global mesh and agree on a cross-process reduction."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.format(repo=repo))
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS="localhost:29671",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen([sys.executable, str(script)], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"OK process {pid}" in out
