@@ -39,7 +39,9 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
     model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
     batch = _make_batch(batch_size, canvas)
     ovm = _verb_mask()
-    variables = model.init(jax.random.PRNGKey(0), batch, ovm, training=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, ovm, training=False))(
+        jax.random.PRNGKey(0), batch
+    )  # jitted: one compiled program, not minutes of op-by-op dispatch
 
     @jax.jit
     def chain(variables, batch, n):

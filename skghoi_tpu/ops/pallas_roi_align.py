@@ -280,6 +280,55 @@ def _gather_path(feature_maps, boxes):
     )
 
 
+def _dense_separable_path(feature_maps, boxes, strides=(4, 8, 16, 32),
+                          skip_covered: bool = True):
+    """Exact RoIAlign for arbitrary-span boxes as whole-level matmuls.
+
+    Same separable-bilinear identity as the kernel, but the interpolation
+    matrices run against the *entire* level (``A_y: [7, H_l]``), so no span
+    bound exists.  Per level this is one batched GEMM pair —
+    ``einsum('bnph,bhwc->bnpwc')`` then ``einsum('bnqw,bnpwc->bnpqc')`` —
+    that streams each feature map once; ~60 GF at P2 for 240 boxes
+    (~2 ms at 832x1344x8) versus ~11 ms for the scalar-gather formulation it
+    replaces as the overflow rescue.  Levels whose full extent already fits
+    the kernel window are statically skipped: a box assigned there can never
+    overflow, so its rescue value is never selected.
+    """
+    bsz, n = boxes.shape[:2]
+    c = feature_maps[0].shape[-1]
+    flat = boxes.reshape(-1, 4)
+    levels = fpn_level_assignment(flat)  # [B*N]
+
+    out = jnp.zeros((bsz * n, 7, 7, c), jnp.float32)
+    for l, (fm, stride) in enumerate(zip(feature_maps, strides)):
+        h, w = fm.shape[1], fm.shape[2]
+        if skip_covered and h <= PATCH and w <= PATCH_W - _LANE_TILE:
+            continue  # kernel window covers the whole level; never overflows
+            # (boxes assigned here keep their zeros — the rescue mask never
+            # selects them)
+        x1 = flat[:, 0] / stride
+        y1 = flat[:, 1] / stride
+        roi_w = jnp.maximum(flat[:, 2] / stride - x1, 1.0)
+        roi_h = jnp.maximum(flat[:, 3] / stride - y1, 1.0)
+        zero = jnp.zeros((), jnp.int32)
+        ay = jax.vmap(lambda s, ln: _axis_weights(s, ln, zero, h, 7, 2, h))(y1, roi_h)
+        ax = jax.vmap(lambda s, ln: _axis_weights(s, ln, zero, w, 7, 2, w))(x1, roi_w)
+        t1 = jnp.einsum(
+            "bnph,bhwc->bnpwc",
+            ay.reshape(bsz, n, 7, h),
+            fm,
+            preferred_element_type=jnp.float32,
+        )
+        pooled = jnp.einsum(
+            "bnqw,bnpwc->bnpqc",
+            ax.reshape(bsz, n, 7, w),
+            t1,
+            preferred_element_type=jnp.float32,
+        ).reshape(bsz * n, 7, 7, c)
+        out = jnp.where((levels == l)[:, None, None, None], pooled, out)
+    return out.reshape(bsz, n, 7, 7, c).astype(feature_maps[0].dtype)
+
+
 def roi_align_exact(feature_maps: Sequence[Array], boxes: Array, interpret: bool = False) -> Array:
     """Pallas fast path with an exact rescue for window-overflowing boxes.
 
@@ -301,7 +350,7 @@ def roi_align_exact(feature_maps: Sequence[Array], boxes: Array, interpret: bool
 
     def rescue(ops):
         fms, fast_out = ops
-        slow = _gather_path(fms, jax.lax.stop_gradient(boxes))
+        slow = _dense_separable_path(fms, jax.lax.stop_gradient(boxes))
         return jnp.where(mask, slow.astype(fast_out.dtype), fast_out)
 
     return jax.lax.cond(jnp.any(overflow), rescue, lambda ops: ops[1], (feature_maps, fast))

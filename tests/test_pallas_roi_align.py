@@ -127,3 +127,48 @@ def test_overflow_rescue_gradients_exact():
     for l, (a, b) in enumerate(zip(got, want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
                                    err_msg=f"level {l}")
+
+
+def test_dense_separable_path_matches_gather():
+    """The matmul rescue path equals the gather formulation for every box —
+    including spans far beyond the kernel window (the boxes it exists for)."""
+    from skghoi_tpu.ops.pallas_roi_align import _dense_separable_path
+
+    fms, boxes = make_fixture(seed=3)
+    extreme = jnp.asarray(
+        [
+            [
+                [0.0, 100.0, 380.0, 112.0],   # 380x12: aspect ~32, wide
+                [200.0, 0.0, 214.0, 250.0],   # tall standing-person-like
+                [0.0, 0.0, 383.0, 30.0],      # full-width banner
+                [-10.0, -10.0, 390.0, 260.0], # larger than the image
+                [50.0, 50.0, 51.0, 51.0],
+                [0.0, 0.0, 0.0, 0.0],
+            ]
+        ]
+        * 2
+    )
+    for bx in (boxes, extreme):
+        want = jax.vmap(lambda f, b: multiscale_roi_align(f, b))(tuple(fms), bx)
+        got = _dense_separable_path(tuple(fms), bx, skip_covered=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_rescue_uses_dense_path_gradients():
+    """roi_align_exact gradients stay exact with the matmul rescue."""
+    from skghoi_tpu.ops.pallas_roi_align import roi_align_exact
+
+    fms, _ = make_fixture(seed=4, b=1, n=2)
+    boxes = jnp.asarray([[[0.0, 100.0, 380.0, 112.0], [20.0, 20.0, 90.0, 80.0]]])
+    g = jnp.asarray(np.random.default_rng(5).normal(size=(1, 2, 7, 7, 8)), jnp.float32)
+
+    def loss_fast(*f):
+        return jnp.sum(roi_align_exact(f, boxes, interpret=True) * g)
+
+    def loss_ref(*f):
+        return jnp.sum(jax.vmap(lambda *a: multiscale_roi_align(a[:-1], a[-1]))(*f, boxes) * g)
+
+    grads_fast = jax.grad(loss_fast, argnums=(0, 1, 2, 3))(*fms)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*fms)
+    for gf, gr in zip(grads_fast, grads_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4)
