@@ -17,19 +17,30 @@ EXAMPLES = {
         model="transe", dim=200, p_norm=1, margin=5.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
     ),
+    # train_transe_WN18_adv_sigmoidloss.py (despite the filename it reads
+    # benchmarks/WN18RR — the recipe behind the published WN18RR 0.512):
+    # dim 1024, norm_flag False, margin 6, sigmoid adv T=1, batch 2000
+    # (86835 triples -> 43 nbatches), neg 64, adam 2e-5, 3000 epochs.
     "transe_wn18rr": dict(
-        model="transe", dim=200, p_norm=1, margin=6.0, loss="margin",
-        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
+        sampling_mode="oneside",
+        model="transe", dim=1024, p_norm=1, no_norm=True, margin=6.0,
+        loss="sigmoid", adv_temperature=1.0, nbatches=43, neg_ent=64,
+        bern=False, epochs=3000, alpha=2e-5, opt="adam",
     ),
     "transh_fb15k237": dict(
         model="transh", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
     ),
-    # WN18RR has no shipped Trans* example scripts; these carry the FB15K237
-    # configs onto WN18RR (the published README table rows).
+    # No shipped TransH/R/D WN18RR scripts exist; the published README rows
+    # (0.507/0.519/0.508) sit next to TransE's 0.512, so these adapt the
+    # shipped TransE WN18RR adv recipe to each model.  TransR keeps
+    # norm_flag True (its transfer matrices blow up un-normalized) and the
+    # margin-loss pretrain recipe at WN18RR's 11 relations.
     "transh_wn18rr": dict(
-        model="transh", dim=200, p_norm=1, margin=4.0, loss="margin",
-        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.5, opt="sgd",
+        sampling_mode="oneside",
+        model="transh", dim=1024, p_norm=1, no_norm=True, margin=6.0,
+        loss="sigmoid", adv_temperature=1.0, nbatches=43, neg_ent=64,
+        bern=False, epochs=3000, alpha=2e-5, opt="adam",
     ),
     "transr_wn18rr": dict(
         model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
@@ -37,8 +48,10 @@ EXAMPLES = {
         score_chunk=4096, transe_init_epochs=1,
     ),
     "transd_wn18rr": dict(
-        model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",
-        nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
+        sampling_mode="oneside",
+        model="transd", dim=1024, p_norm=1, no_norm=True, margin=6.0,
+        loss="sigmoid", adv_temperature=1.0, nbatches=43, neg_ent=64,
+        bern=False, epochs=3000, alpha=2e-5, opt="adam",
     ),
     # hoi_linearH.py: TransH for the HOI knowledge graph (dim 200, margin 4)
     "transh_hoi": dict(
@@ -82,6 +95,7 @@ EXAMPLES = {
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.1, opt="adagrad",
     ),
     "rotate_fb15k237": dict(
+        sampling_mode="oneside",
         model="rotate", dim=1024, margin=6.0, loss="sigmoid", adv_temperature=1.0,
         nbatches=100, neg_ent=25, bern=False, epochs=1000, alpha=2e-5, opt="adam",
     ),
@@ -115,13 +129,17 @@ EXAMPLES = {
     # train_rotate_WN18RR_adv.py: batch 2000 (~43 nbatches of 86835 triples),
     # neg 64, sigmoid adv T=2, adam 2e-5, 6000 epochs — published 0.565.
     "rotate_wn18rr_adv": dict(
+        sampling_mode="oneside",
         model="rotate", dim=1024, margin=6.0, loss="sigmoid", adv_temperature=2.0,
         nbatches=43, neg_ent=64, bern=False, epochs=6000, alpha=2e-5, opt="adam",
     ),
     # train_distmult_WN18RR_adv.py: dim 1024, sigmoid adv T=0.5, l3 5e-6,
-    # adam 0.002, 400 epochs, batch 2000, neg 64.
+    # adam 0.002, 400 epochs, batch 2000, neg 64; margin=200/epsilon=2 only
+    # set the uniform init range (DistMult.py:16-32).
     "distmult_wn18rr_adv": dict(
+        sampling_mode="oneside",
         model="distmult", dim=1024, loss="sigmoid", adv_temperature=0.5,
+        init_margin=200.0, init_epsilon=2.0,
         l3_regul_rate=5e-6, nbatches=43, neg_ent=64, bern=False, epochs=400,
         alpha=0.002, opt="adam",
     ),

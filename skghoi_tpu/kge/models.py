@@ -91,6 +91,24 @@ class KGEModel(nn.Module):
         s = self.score(h, t, r)
         return s if self.LOWER_IS_BETTER else -s
 
+    def score_one_side(self, pos_h: Array, pos_t: Array, pos_r: Array,
+                       neg_ent: Array, corrupt_tail: Array) -> Array:
+        """Scores of ``[B, K]`` negatives that each replace ONE entity of the
+        row's positive (tail where ``corrupt_tail[b]``, else head).
+
+        Generic fallback reconstructs full (h, t, r) index grids; subclasses
+        override with a folded form that gathers the positive's fixed parts
+        once per row instead of once per negative — on TPU the sampled-loss
+        step is gather/scatter-bound, so this cuts its HBM traffic ~3x (the
+        same structure the reference exploits via its head_batch/tail_batch
+        ``_calc`` modes, e.g. ``OpenKE/openke/module/model/DistMult.py:34-44``).
+        """
+        ct = corrupt_tail[:, None]
+        nh = jnp.where(ct, pos_h[:, None], neg_ent)
+        nt = jnp.where(ct, neg_ent, pos_t[:, None])
+        nr = jnp.broadcast_to(pos_r[:, None], neg_ent.shape)
+        return self.score(nh, nt, nr)
+
     def regularization(self, h: Array, t: Array, r: Array) -> Array:
         raise NotImplementedError
 
@@ -125,6 +143,20 @@ class TransE(KGEModel):
     def rank_scores(self, h, t, r):
         s = self.score(h, t, r)
         return self.margin - s if self.margin is not None else s
+
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # ||h' + r - t|| = ||e' - (t - r)||; ||h + r - t'|| = ||e' - (h + r)||
+        # (p-norms are symmetric under sign flip), so one [B, dim] base folds
+        # the row's fixed entity + relation.
+        he = self.ent_embeddings(pos_h)
+        te = self.ent_embeddings(pos_t)
+        re = self.rel_embeddings(pos_r)
+        ne = self.ent_embeddings(neg_ent)
+        if self.norm_flag:
+            he, te, re, ne = (_l2_normalize(x) for x in (he, te, re, ne))
+        base = jnp.where(corrupt_tail[:, None], he + re, te - re)
+        dist = _p_norm(ne - base[:, None, :], self.p_norm)
+        return self.margin - dist if self.margin is not None else dist
 
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
@@ -176,6 +208,22 @@ class TransH(KGEModel):
     def rank_scores(self, h, t, r):
         s = self.score(h, t, r)
         return self.margin - s if self.margin is not None else s
+
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # Same fold as TransE after the shared per-relation hyperplane
+        # projection (w is gathered once per row and broadcast over K).
+        he = self.ent_embeddings(pos_h)
+        te = self.ent_embeddings(pos_t)
+        re = self.rel_embeddings(pos_r)
+        w = self.norm_vector(pos_r)
+        ne = self._transfer(self.ent_embeddings(neg_ent), w[:, None, :])
+        hp = self._transfer(he, w)
+        tp = self._transfer(te, w)
+        if self.norm_flag:
+            hp, tp, re, ne = (_l2_normalize(x) for x in (hp, tp, re, ne))
+        base = jnp.where(corrupt_tail[:, None], hp + re, tp - re)
+        dist = _p_norm(ne - base[:, None, :], self.p_norm)
+        return self.margin - dist if self.margin is not None else dist
 
     def embeddings_and_score(self, h, t, r):
         """Raw (untransferred) embeddings + score, the tuple the reference's
@@ -363,6 +411,24 @@ class TransD(KGEModel):
         s = self.score(h, t, r)
         return self.margin - s if self.margin is not None else s
 
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # The negative side still needs its own ent_transfer gather, but the
+        # positive pair + relation fold into one [B, dim_r] base.
+        he = self.ent_embeddings(pos_h)
+        te = self.ent_embeddings(pos_t)
+        re = self.rel_embeddings(pos_r)
+        rt = self.rel_transfer(pos_r)
+        hp = self._transfer(he, self.ent_transfer(pos_h), rt)
+        tp = self._transfer(te, self.ent_transfer(pos_t), rt)
+        ne = self._transfer(
+            self.ent_embeddings(neg_ent), self.ent_transfer(neg_ent), rt[:, None, :]
+        )
+        if self.norm_flag:
+            hp, tp, re, ne = (_l2_normalize(x) for x in (hp, tp, re, ne))
+        base = jnp.where(corrupt_tail[:, None], hp + re, tp - re)
+        dist = _p_norm(ne - base[:, None, :], self.p_norm)
+        return self.margin - dist if self.margin is not None else dist
+
     def regularization(self, h, t, r):
         return _mean_sq(
             self.ent_embeddings(h),
@@ -375,21 +441,44 @@ class TransD(KGEModel):
 
 
 class DistMult(KGEModel):
-    """``sum(h * r * t)`` similarity (higher = better)."""
+    """``sum(h * r * t)`` similarity (higher = better).
+
+    ``margin``/``epsilon``, when both given, switch initialization from
+    Xavier to uniform in ``±(margin + epsilon) / dim`` — the RotatE-style
+    range the reference's adversarial DistMult preset uses
+    (``OpenKE/openke/module/model/DistMult.py:16-32``; the margin plays no
+    role in scoring there, only in the init range).
+    """
 
     dim: int = 100
+    margin: Optional[float] = None
+    epsilon: Optional[float] = None
     LOWER_IS_BETTER = False
 
     def setup(self):
+        if self.margin is not None and self.epsilon is not None:
+            rng = (self.margin + self.epsilon) / self.dim
+            init = lambda n, d: uniform_embedding(rng)
+        else:
+            init = xavier_uniform_embedding
         self.ent_embeddings = nn.Embed(
-            self.ent_tot, self.dim, embedding_init=xavier_uniform_embedding(self.ent_tot, self.dim)
+            self.ent_tot, self.dim, embedding_init=init(self.ent_tot, self.dim)
         )
         self.rel_embeddings = nn.Embed(
-            self.rel_tot, self.dim, embedding_init=xavier_uniform_embedding(self.rel_tot, self.dim)
+            self.rel_tot, self.dim, embedding_init=init(self.rel_tot, self.dim)
         )
 
     def score(self, h, t, r):
         return jnp.sum(self.ent_embeddings(h) * self.rel_embeddings(r) * self.ent_embeddings(t), -1)
+
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # Bilinear: score is linear in whichever entity is replaced, so the
+        # other two factors fold into one [B, dim] base vector.
+        he = self.ent_embeddings(pos_h)
+        te = self.ent_embeddings(pos_t)
+        re = self.rel_embeddings(pos_r)
+        base = jnp.where(corrupt_tail[:, None], he * re, re * te)
+        return jnp.sum(self.ent_embeddings(neg_ent) * base[:, None, :], -1)
 
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
@@ -421,6 +510,19 @@ class ComplEx(KGEModel):
             h_re * t_re * r_re + h_im * t_im * r_re + h_re * t_im * r_im - h_im * t_re * r_im,
             -1,
         )
+
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # score = Re(<h, r, conj(t)>) is linear in h and in t separately:
+        #   vs t': base = (h_re r_re - h_im r_im,  h_im r_re + h_re r_im)
+        #   vs h': base = (t_re r_re + t_im r_im,  t_im r_re - t_re r_im)
+        h_re, h_im = self.ent_re_embeddings(pos_h), self.ent_im_embeddings(pos_h)
+        t_re, t_im = self.ent_re_embeddings(pos_t), self.ent_im_embeddings(pos_t)
+        r_re, r_im = self.rel_re_embeddings(pos_r), self.rel_im_embeddings(pos_r)
+        ct = corrupt_tail[:, None]
+        base_re = jnp.where(ct, h_re * r_re - h_im * r_im, t_re * r_re + t_im * r_im)
+        base_im = jnp.where(ct, h_im * r_re + h_re * r_im, t_im * r_re - t_re * r_im)
+        n_re, n_im = self.ent_re_embeddings(neg_ent), self.ent_im_embeddings(neg_ent)
+        return jnp.sum(n_re * base_re[:, None, :] + n_im * base_im[:, None, :], -1)
 
     def regularization(self, h, t, r):
         return _mean_sq(
@@ -566,6 +668,27 @@ class RotatE(KGEModel):
 
     def rank_scores(self, h, t, r):
         return self.distance(h, t, r) - self.margin
+
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # Each r_i is a unit rotation, so multiplying a difference pointwise
+        # by conj(r) preserves each |.|:  ||h'∘r - t|| = ||h' - t∘conj(r)||.
+        # Both corruption sides therefore reduce to ||e' - base|| with one
+        # [B, 2*dim] base: h∘r (tail side) or t∘conj(r) (head side).
+        he = self.ent_embeddings(pos_h)
+        te = self.ent_embeddings(pos_t)
+        phase = self.rel_embeddings(pos_r) / (self._rel_range / jnp.pi)
+        re_r, im_r = jnp.cos(phase), jnp.sin(phase)
+        re_h, im_h = jnp.split(he, 2, axis=-1)
+        re_t, im_t = jnp.split(te, 2, axis=-1)
+        ct = corrupt_tail[:, None]
+        base_re = jnp.where(ct, re_h * re_r - im_h * im_r, re_t * re_r + im_t * im_r)
+        base_im = jnp.where(ct, re_h * im_r + im_h * re_r, im_t * re_r - re_t * im_r)
+        ne = self.ent_embeddings(neg_ent)
+        re_n, im_n = jnp.split(ne, 2, axis=-1)
+        d_re = re_n - base_re[:, None, :]
+        d_im = im_n - base_im[:, None, :]
+        dist = jnp.sum(jnp.sqrt(d_re**2 + d_im**2 + 1e-30), -1)
+        return self.margin - dist
 
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))

@@ -44,6 +44,26 @@ class TripleBatch(NamedTuple):
     neg_r: Array
 
 
+class CorruptBatch(NamedTuple):
+    """One-side-corrupted batch: each row's K negatives replace the SAME
+    entity slot (tail where ``corrupt_tail[b]``, else head), so models can
+    score them against one folded per-row base vector
+    (:meth:`~skghoi_tpu.kge.models.KGEModel.score_one_side`).
+
+    This is the reference's adversarial-example batch structure — its
+    ``sampling_mode="cross"`` alternates whole head-batch/tail-batch steps
+    (``Base.cpp`` cross sampling; consumed by the models' head_batch/
+    tail_batch ``_calc`` modes) — with the side drawn per ROW instead of per
+    step, which has the same marginal statistics at finer grain.
+    """
+
+    pos_h: Array
+    pos_t: Array
+    pos_r: Array
+    neg_ent: Array  # [B, K] replacement entity ids
+    corrupt_tail: Array  # [B] bool — True: negatives are (h, r, neg_ent)
+
+
 class DeviceKG(NamedTuple):
     """Device-resident triple store consumed by the in-graph sampler.
 
@@ -239,6 +259,45 @@ def sample_batch(
 
     neg_r = jnp.broadcast_to(r[:, None], (batch_size, neg_rate))
     return TripleBatch(pos_h=h, pos_t=t, pos_r=r, neg_h=nh, neg_t=nt, neg_r=neg_r)
+
+
+def sample_batch_oneside(
+    key: Array,
+    kg: DeviceKG,
+    batch_size: int,
+    neg_rate: int = 1,
+    bern: bool = False,
+    filtered: bool = True,
+    rejection_rounds: int = 4,
+) -> CorruptBatch:
+    """Like :func:`sample_batch` but with ONE corruption side per row, so the
+    consumer can use the folded ``score_one_side`` fast path (≈3x less
+    gather/scatter HBM traffic per training step)."""
+    k_pick, k_side, k_ent = jax.random.split(key, 3)
+
+    idx = jax.random.randint(k_pick, (batch_size,), 0, len(kg.train_h))
+    h = kg.train_h[idx]
+    t = kg.train_t[idx]
+    r = kg.train_r[idx]
+
+    p_tail = kg.bern_tail_prob[r] if bern else 0.5
+    corrupt_tail = jax.random.uniform(k_side, (batch_size,)) < p_tail
+
+    def known(cand):
+        nh = jnp.where(corrupt_tail[:, None], h[:, None], cand)
+        nt = jnp.where(corrupt_tail[:, None], cand, t[:, None])
+        return _is_known(kg, nh, nt, jnp.broadcast_to(r[:, None], cand.shape))
+
+    keys = jax.random.split(k_ent, rejection_rounds)
+    cand = jax.random.randint(keys[0], (batch_size, neg_rate), 0, kg.ent_tot)
+    if filtered:
+        bad = known(cand)
+        for i in range(1, rejection_rounds):
+            cand2 = jax.random.randint(keys[i], (batch_size, neg_rate), 0, kg.ent_tot)
+            cand = jnp.where(bad, cand2, cand)
+            bad = bad & known(cand)
+
+    return CorruptBatch(pos_h=h, pos_t=t, pos_r=r, neg_ent=cand, corrupt_tail=corrupt_tail)
 
 
 class NumpySampler:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -20,7 +21,7 @@ import jax.numpy as jnp
 import optax
 from flax import serialization
 
-from skghoi_tpu.kge.sampling import DeviceKG, sample_batch
+from skghoi_tpu.kge.sampling import DeviceKG, sample_batch, sample_batch_oneside
 from skghoi_tpu.kge.strategy import NegativeSampling
 
 
@@ -62,6 +63,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
         seed: int = 0,
+        sampling_mode: str = "normal",
     ):
         self.model = model
         self.params = params
@@ -77,8 +79,13 @@ class Trainer:
         tx = make_optimizer(opt_method, alpha, weight_decay=weight_decay)
         self.opt_state = tx.init(params)
 
+        # "oneside" draws the corruption side per row (the reference's cross-
+        # mode structure) and scores via the folded score_one_side fast path —
+        # ~3x less gather/scatter traffic per step on TPU.
+        sampler = sample_batch_oneside if sampling_mode == "oneside" else sample_batch
+
         def loss_fn(params, key):
-            batch = sample_batch(key, kg, batch_size, neg_rate, bern=bern, filtered=filtered)
+            batch = sampler(key, kg, batch_size, neg_rate, bern=bern, filtered=filtered)
             return strategy(model, params, batch)
 
         def step(carry, key):
@@ -88,7 +95,7 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def epoch(params, opt_state, key):
             keys = jax.random.split(key, nbatches)
             (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)

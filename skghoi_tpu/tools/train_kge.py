@@ -52,7 +52,8 @@ MODELS = {
     "transh": lambda a, d: TransH(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
     "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, score_chunk=a.score_chunk),
     "transd": lambda a, d: TransD(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
-    "distmult": lambda a, d: DistMult(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
+    "distmult": lambda a, d: DistMult(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim,
+                                      margin=a.init_margin, epsilon=a.init_epsilon),
     "complex": lambda a, d: ComplEx(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
     "rescal": lambda a, d: RESCAL(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
     "analogy": lambda a, d: Analogy(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),
@@ -88,6 +89,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--opt", default="sgd", choices=["sgd", "adam", "adagrad", "adadelta"])
     p.add_argument("--regul-rate", type=float, default=0.0)
     p.add_argument("--l3-regul-rate", type=float, default=0.0)
+    p.add_argument("--sampling-mode", default="normal", choices=["normal", "oneside"],
+                   help="'oneside': per-row corruption side + folded scoring "
+                        "(the reference's cross-mode structure; ~3x less HBM "
+                        "traffic per step)")
+    p.add_argument("--init-margin", type=float, default=None,
+                   help="DistMult: uniform init range (margin+epsilon)/dim instead of Xavier")
+    p.add_argument("--init-epsilon", type=float, default=None)
     p.add_argument("--score-chunk", type=int, default=None,
                    help="TransR: chunked+rematerialized scoring (memory bound)")
     p.add_argument("--transe-init-epochs", type=int, default=0,
@@ -164,6 +172,7 @@ def main(argv=None):
         nbatches=args.nbatches, neg_rate=args.neg_ent, bern=args.bern,
         filtered=not args.no_filter, train_times=args.epochs,
         alpha=args.alpha, opt_method=args.opt, seed=args.seed,
+        sampling_mode=args.sampling_mode,
     )
     t0 = time.time()
     params = trainer.run()
