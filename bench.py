@@ -65,8 +65,55 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
     return batch_size / per_iter
 
 
+def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6) -> float:
+    """Steady-state training images/second (fwd + bwd + AdamW) on one chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _make_batch, _verb_mask
+    from skghoi_tpu.models import SpatiallyConditionedGraph
+    from skghoi_tpu.parallel.train_step import build_train_step
+
+    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
+    batch = _make_batch(batch_size, canvas, with_targets=True)
+    ovm = _verb_mask()
+    variables = jax.jit(lambda r, b: model.init(r, b, ovm, training=True))(
+        jax.random.PRNGKey(0), batch
+    )
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+    step = build_train_step(model, tx, ovm)
+    rng = jax.random.PRNGKey(1)
+
+    params, opt_state, total, losses, _ = step(params, extra, opt_state, batch, rng)  # compile
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, total, losses, _ = step(params, extra, opt_state, batch, rng)
+    jax.block_until_ready(losses)
+    return batch_size / ((time.perf_counter() - t0) / iters)
+
+
 def main():
     import os
+    import sys
+
+    if "--train" in sys.argv:
+        images_per_sec = measure_train()
+        print(
+            json.dumps(
+                {
+                    "metric": "hoi_train_images_per_sec",
+                    "value": round(images_per_sec, 2),
+                    "unit": "img/s (832x1344, bf16, single chip, fwd+bwd+adamw)",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     images_per_sec = measure()
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
