@@ -1,0 +1,126 @@
+"""Generate detections with an imported torchvision Faster R-CNN checkpoint.
+
+Mirror of the reference's ``hicodet/detections/preprocessing.py`` CLI: runs
+a ``fasterrcnn_resnet50_fpn``-format checkpoint over a dataset partition and
+caches one JSON per image (boxes / labels / scores, original-image
+coordinates, COCO ids remapped to HICO 80 via ``coco80tohico80.json`` when
+present).  The detector itself is the Flax re-expression in
+:mod:`skghoi_tpu.detect.frcnn` — no torchvision needed; the checkpoint may
+be a raw ``state_dict`` or a dict holding ``model_state_dict``.
+
+    python -m skghoi_tpu.tools.preprocess_detections \
+        --data-root data/hicodet --partition train2015 \
+        --ckpt-path checkpoints/fasterrcnn_resnet50_fpn_coco.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from skghoi_tpu import constants as C
+from skghoi_tpu.data.hicodet import HICODet
+from skghoi_tpu.data.transforms import (
+    bilinear_resize,
+    canvas_for,
+    resize_scale,
+    resized_size,
+)
+from skghoi_tpu.detect.frcnn import FasterRCNN, load_torch_fasterrcnn
+from skghoi_tpu.detect.generate import generate_model_detections
+
+
+def build_detector_fn(variables, score_thresh: float, nms_thresh: float,
+                      num_detections: int, min_size: int = C.IMAGE_MIN_SIZE,
+                      max_size: int = C.IMAGE_MAX_SIZE, canvas=None,
+                      **model_overrides):
+    """Returns ``detector(arr [H, W, 3] in [0, 1]) -> (boxes, labels, scores)``
+    in original-image coordinates with COCO class ids.  ``min_size`` /
+    ``max_size`` / ``canvas`` override the torchvision transform envelope
+    (tests use small values; production keeps the 800/1333 defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    model = FasterRCNN(
+        box_score_thresh=score_thresh,
+        box_nms_thresh=nms_thresh,
+        detections_per_img=num_detections,
+        **model_overrides,
+    )
+
+    # jax.jit retraces per input shape: one compile per canvas orientation.
+    run = jax.jit(lambda v, img, sizes: model.apply(v, img, sizes))
+
+    mean = np.asarray(C.IMAGE_MEAN, np.float32)
+    std = np.asarray(C.IMAGE_STD, np.float32)
+
+    def detector(arr: np.ndarray):
+        h, w = arr.shape[:2]
+        scale = resize_scale(h, w, min_size, max_size)
+        nh, nw = resized_size(h, w, scale)
+        cv = canvas if canvas is not None else canvas_for(nh, nw)
+        nh, nw = min(nh, cv[0]), min(nw, cv[1])
+        resized = bilinear_resize(arr.astype(np.float32), nh, nw)
+        padded = np.zeros((cv[0], cv[1], 3), np.float32)
+        padded[:nh, :nw] = (resized - mean) / std
+        det = run(
+            variables,
+            jnp.asarray(padded)[None],
+            jnp.asarray([[float(nh), float(nw)]]),
+        )
+        valid = np.asarray(det.valid[0])
+        boxes = np.asarray(det.boxes[0])[valid] / scale
+        labels = np.asarray(det.labels[0])[valid]
+        scores = np.asarray(det.scores[0])[valid]
+        return boxes, labels, scores
+
+    return detector
+
+
+def load_checkpoint_state_dict(path: str):
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model_state_dict" in blob:
+        blob = blob["model_state_dict"]
+    return blob
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Faster R-CNN detection generation")
+    parser.add_argument("--partition", type=str, default="train2015")
+    parser.add_argument("--data-root", type=str, default="data/hicodet")
+    parser.add_argument("--cache-dir", type=str, default="detections")
+    parser.add_argument("--ckpt-path", type=str, required=True)
+    parser.add_argument("--score-thresh", type=float, default=0.05)
+    parser.add_argument("--nms-thresh", type=float, default=0.5)
+    parser.add_argument("--num-detections-per-image", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    dataset = HICODet(
+        root=os.path.join(args.data_root, f"hico_20160224_det/images/{args.partition}"),
+        anno_file=os.path.join(args.data_root, f"instances_{args.partition}.json"),
+    )
+    coco2hico = None
+    mapping_path = os.path.join(args.data_root, "coco80tohico80.json")
+    if os.path.exists(mapping_path):
+        with open(mapping_path) as f:
+            coco2hico = json.load(f)
+
+    variables = load_torch_fasterrcnn(load_checkpoint_state_dict(args.ckpt_path))
+    detector = build_detector_fn(
+        variables, args.score_thresh, args.nms_thresh, args.num_detections_per_image
+    )
+    cache_dir = os.path.join(args.cache_dir, args.partition)
+    generate_model_detections(
+        detector, dataset, cache_dir,
+        score_thresh=args.score_thresh, label_map=coco2hico,
+    )
+    print(f"Cached {len(dataset)} detection files under {cache_dir}")
+
+
+if __name__ == "__main__":
+    main()
