@@ -33,6 +33,41 @@ from skghoi_tpu.detect.frcnn import FasterRCNN, load_torch_fasterrcnn
 from skghoi_tpu.detect.generate import generate_model_detections
 
 
+def build_detr_detector_fn(variables, score_thresh: float, num_classes: int = 91,
+                           min_size: int = C.IMAGE_MIN_SIZE,
+                           max_size: int = C.IMAGE_MAX_SIZE, canvas=None):
+    """DETR flavour of :func:`build_detector_fn` (``main_detr.py`` path):
+    per-query max-class scores, no NMS (DETR's set prediction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skghoi_tpu.detect.detr import DETR
+
+    model = DETR(num_classes=num_classes)
+    run = jax.jit(lambda v, img, sizes: model.apply(v, img, sizes))
+    mean = np.asarray(C.IMAGE_MEAN, np.float32)
+    std = np.asarray(C.IMAGE_STD, np.float32)
+
+    def detector(arr: np.ndarray):
+        h, w = arr.shape[:2]
+        scale = resize_scale(h, w, min_size, max_size)
+        nh, nw = resized_size(h, w, scale)
+        cv = canvas if canvas is not None else canvas_for(nh, nw)
+        nh, nw = min(nh, cv[0]), min(nw, cv[1])
+        resized = bilinear_resize(arr.astype(np.float32), nh, nw)
+        padded = np.zeros((cv[0], cv[1], 3), np.float32)
+        padded[:nh, :nw] = (resized - mean) / std
+        # DETR normalizes boxes to the PADDED canvas it saw; scale by the
+        # canvas extent, then back to original image coordinates.
+        det = run(variables, jnp.asarray(padded)[None],
+                  jnp.asarray([[float(cv[0]), float(cv[1])]]))
+        keep = np.asarray(det.scores[0]) >= score_thresh
+        boxes = np.asarray(det.boxes[0])[keep] / scale
+        return boxes, np.asarray(det.labels[0])[keep], np.asarray(det.scores[0])[keep]
+
+    return detector
+
+
 def build_detector_fn(variables, score_thresh: float, nms_thresh: float,
                       num_detections: int, min_size: int = C.IMAGE_MIN_SIZE,
                       max_size: int = C.IMAGE_MAX_SIZE, canvas=None,
@@ -98,6 +133,9 @@ def main(argv=None):
     parser.add_argument("--score-thresh", type=float, default=0.05)
     parser.add_argument("--nms-thresh", type=float, default=0.5)
     parser.add_argument("--num-detections-per-image", type=int, default=100)
+    parser.add_argument("--detector", choices=["frcnn", "detr"], default="frcnn",
+                        help="checkpoint format: torchvision Faster R-CNN or "
+                             "facebookresearch/detr DETR-R50")
     args = parser.parse_args(argv)
 
     dataset = HICODet(
@@ -110,10 +148,16 @@ def main(argv=None):
         with open(mapping_path) as f:
             coco2hico = json.load(f)
 
-    variables = load_torch_fasterrcnn(load_checkpoint_state_dict(args.ckpt_path))
-    detector = build_detector_fn(
-        variables, args.score_thresh, args.nms_thresh, args.num_detections_per_image
-    )
+    sd = load_checkpoint_state_dict(args.ckpt_path)
+    if args.detector == "detr":
+        from skghoi_tpu.detect.detr import load_torch_detr
+
+        detector = build_detr_detector_fn(load_torch_detr(sd), args.score_thresh)
+    else:
+        detector = build_detector_fn(
+            load_torch_fasterrcnn(sd), args.score_thresh, args.nms_thresh,
+            args.num_detections_per_image,
+        )
     cache_dir = os.path.join(args.cache_dir, args.partition)
     generate_model_detections(
         detector, dataset, cache_dir,
