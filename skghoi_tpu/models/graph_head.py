@@ -58,6 +58,11 @@ class GraphHeadOutputs(NamedTuple):
     transh_pos: Optional[Array]  # [B, MAX_POS] distance scores of positives
     transh_neg: Optional[Array]  # [B, MAX_POS]
     transh_mask: Optional[Array]  # [B, MAX_POS] bool
+    # Positives beyond max_transh_pairs that the balanced sampler dropped
+    # this step (the reference samples ALL positives, ref :936-943; the cap
+    # keeps shapes static).  Scalar, surfaced via the engine metrics so the
+    # truncation is never silent.
+    transh_pos_dropped: Optional[Array] = None
 
 
 def masked_softmax(logits: Array, mask: Array, axis: int) -> Array:
@@ -197,7 +202,8 @@ class GraphHead(nn.Module):
 
         pos = jnp.take_along_axis(flat_scores, pos_idx, axis=1)
         neg = jnp.take_along_axis(flat_scores, neg_idx, axis=1)
-        return pos, neg, pos_mask
+        dropped = jnp.sum(jnp.maximum(jnp.sum(flat_labels, axis=1) - cap, 0.0))
+        return pos, neg, pos_mask, dropped
 
     # ------------------------------------------------------------------
     def __call__(
@@ -314,8 +320,8 @@ class GraphHead(nn.Module):
         )  # score depends on (box j, verb)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        pos, neg, mask = self._sample_transh_pairs(rng, transh_pair, gt_labels, pair_valid)
+        pos, neg, mask, dropped = self._sample_transh_pairs(rng, transh_pair, gt_labels, pair_valid)
 
         return GraphHeadOutputs(
-            pair_features, pair_valid, prior, gt_labels, unary, pos, neg, mask
+            pair_features, pair_valid, prior, gt_labels, unary, pos, neg, mask, dropped
         )

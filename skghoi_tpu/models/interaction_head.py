@@ -63,6 +63,10 @@ class InteractionOutputs(NamedTuple):
     labels: Optional[Array] = None  # [B, H, N, K]
     unary_labels: Optional[Array] = None
     losses: Optional[dict] = None
+    # Non-loss scalars worth logging (e.g. transh_pos_dropped — positives the
+    # capped TransH sampler truncated this step); kept out of ``losses`` so
+    # ``total_loss`` / engine loss sums stay pure.
+    metrics: Optional[dict] = None
 
 
 def _filter_one(
@@ -234,10 +238,13 @@ class InteractionHead(nn.Module):
         scores = jnp.where(valid_entries, scores, 0.0)
 
         losses = None
+        metrics = None
         if training and targets is not None:
             losses = self._compute_losses(
                 scores, logits_s, gh, valid_entries
             )
+            if gh.transh_pos_dropped is not None:
+                metrics = dict(transh_pos_dropped=gh.transh_pos_dropped)
 
         return InteractionOutputs(
             scores=scores,
@@ -252,6 +259,7 @@ class InteractionHead(nn.Module):
             labels=gh.labels,
             unary_labels=gh.unary_labels,
             losses=losses,
+            metrics=metrics,
         )
 
     def _compute_losses(

@@ -133,6 +133,12 @@ class LearningEngine:
                 self.hoi_loss.append(hoi)
                 self.intr_loss.append(float(losses["interactiveness_loss"]))
                 self.transh_loss.append(float(losses["transh_loss"]))
+                if out.metrics is not None:
+                    dropped = float(out.metrics.get("transh_pos_dropped", 0.0))
+                    if dropped > 0:
+                        # The capped TransH sampler truncated positives this
+                        # step (ref samples all, :936-943) — never silent.
+                        print(f"=> TransH sampler dropped {dropped:.0f} positives over the cap")
                 self.iteration += 1
                 if self.iteration % self.print_interval == 0:
                     self._print_statistics()

@@ -148,3 +148,24 @@ def test_prior_power_train_vs_eval():
     np.testing.assert_allclose(float(p_eval[0, 0, 0, 1, 0]), 0.5**2.8, rtol=1e-5)
     # prior_o uses the object box's score
     np.testing.assert_allclose(float(p_train[0, 1, 0, 1, 0]), 0.6, rtol=1e-6)
+
+
+def test_transh_sampler_reports_truncated_positives():
+    """More positives than max_transh_pairs -> transh_pos_dropped counts the
+    overflow (the reference samples ALL positives, head.py:936-943; the cap
+    keeps shapes static, so the truncation must at least be visible)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skghoi_tpu.models.graph_head import GraphHead
+
+    gh = GraphHead(max_transh_pairs=4)
+    b, h, n, k = 1, 3, 5, gh.num_cls
+    scores = jnp.zeros((b, h * n * k))
+    labels = jnp.zeros((b, h, n, k)).at[:, :, :, :2].set(1.0)  # 30 positives
+    pair_valid = jnp.ones((b, h, n), bool)
+    pos, neg, mask, dropped = gh._sample_transh_pairs(
+        jax.random.PRNGKey(0), scores.reshape(b, h, n, k), labels, pair_valid
+    )
+    assert pos.shape == (b, 4) and int(mask.sum()) == 4
+    assert float(dropped) == 3 * 5 * 2 - 4
