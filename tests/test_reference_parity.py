@@ -223,3 +223,116 @@ def test_training_losses_match(parity_setup):
     np.testing.assert_allclose(
         float(out.losses["interactiveness_loss"]), float(t_losses["interactiveness_loss"]),
         rtol=1e-4, err_msg="interactiveness_loss")
+
+
+def test_map_parity_on_synthetic_dataset(parity_setup):
+    """End-to-end mAP parity: both pipelines' detections, scored by the same
+    HICO-DET-style 11-point AP meter against shared GT, must agree within
+    0.2 mAP (the round-1 acceptance bound; with score parity <=1e-4 the
+    actual gap is ~0)."""
+    from skghoi_tpu.ops.ap import BoxPairAssociation, DetectionAPMeter
+
+    _, _, object_to_action, twin, variables, ovm, model = parity_setup
+
+    # A larger synthetic set than the fixture's two images.
+    rng = np.random.default_rng(11)
+    images, detections = [], []
+    for i in range(6):
+        h, w = int(rng.integers(90, 130)), int(rng.integers(100, 150))
+        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        n_h, n_o = int(rng.integers(1, 3)), int(rng.integers(2, 4))
+        n = n_h + n_o
+        xy = rng.uniform(0, [w * 0.5, h * 0.5], (n, 2))
+        wh = rng.uniform([w * 0.15, h * 0.15], [w * 0.45, h * 0.45], (n, 2))
+        boxes = np.concatenate([xy, np.minimum(xy + wh, [w - 1, h - 1])], -1)
+        labels = np.concatenate([
+            np.full(n_h, HUMAN), rng.choice([c for c in range(80) if c != HUMAN], n_o)
+        ])
+        scores = rng.uniform(0.35, 0.99, n)
+        images.append(img)
+        detections.append((boxes.astype(np.float32), labels.astype(np.int64),
+                           scores.astype(np.float32)))
+
+    # GT: perturbed copies of one (human, object) pair per image with a verb
+    # admissible for the object -- so associations genuinely fire.
+    gts = []
+    for (boxes, labels, _), img in zip(detections, images):
+        hb = boxes[labels == HUMAN][:1]
+        ob = boxes[labels != HUMAN][:1]
+        o_cls = labels[labels != HUMAN][:1]
+        verb = np.asarray([rng.choice(object_to_action[o_cls[0]])])
+        gts.append(dict(
+            boxes_h=hb + rng.uniform(-2, 2, hb.shape).astype(np.float32),
+            boxes_o=ob + rng.uniform(-2, 2, ob.shape).astype(np.float32),
+            object=o_cls.astype(np.int64),
+            verb=verb.astype(np.int64),
+        ))
+
+    # interaction id = (object, verb) enumeration over object_to_action
+    o2i = -np.ones((80, 117), np.int64)
+    next_id = 0
+    for o in range(80):
+        for v in object_to_action[o]:
+            o2i[o, v] = next_id
+            next_id += 1
+    num_inter = next_id
+    num_gt = np.zeros(num_inter)
+    for g in gts:
+        num_gt[o2i[g["object"][0], g["verb"][0]]] += 1
+
+    def run_meter(entries_per_image):
+        associate = BoxPairAssociation(min_iou=0.5)
+        meter = DetectionAPMeter(num_inter, num_gt=num_gt.tolist(), algorithm="11P")
+        for g, (bh, bo, obj, verb, sc) in zip(gts, entries_per_image):
+            inter = o2i[obj, verb]
+            keep = inter >= 0
+            inter, sc, bh, bo = inter[keep], sc[keep], bh[keep], bo[keep]
+            labels = np.zeros_like(sc)
+            for hoi in np.unique(inter):
+                gsel = o2i[g["object"][0], g["verb"][0]] == hoi
+                dsel = np.nonzero(inter == hoi)[0]
+                if gsel:
+                    labels[dsel] = associate(
+                        (g["boxes_h"].astype(np.float64), g["boxes_o"].astype(np.float64)),
+                        (bh[dsel], bo[dsel]), sc[dsel])
+            meter.append(sc, inter, labels)
+        ap = meter.eval()
+        return float(np.asarray(ap)[num_gt > 0].mean())
+
+    # --- twin path ---
+    with torch.no_grad():
+        t_results = twin(
+            [torch.from_numpy(im).permute(2, 0, 1) for im in images],
+            [dict(boxes=torch.from_numpy(b), labels=torch.from_numpy(l),
+                  scores=torch.from_numpy(s)) for b, l, s in detections],
+            postprocess_boxes=True,
+        )
+    twin_entries = []
+    for res in t_results:
+        x = res["index"].numpy()
+        twin_entries.append((
+            res["boxes_h"].numpy()[x].astype(np.float64),
+            res["boxes_o"].numpy()[x].astype(np.float64),
+            res["object"].numpy()[x],
+            res["prediction"].numpy(),
+            res["scores"].numpy().astype(np.float64),
+        ))
+
+    # --- flax path ---
+    from skghoi_tpu.eval.hoi_eval import jax_to_numpy, unpack_image_results
+
+    batch = build_jax_batch(images, detections)
+    out = jax_to_numpy(model.apply(variables, batch, ovm, training=False))
+    flax_entries = []
+    for i in range(len(images)):
+        res = unpack_image_results(out, batch, i)
+        flax_entries.append((
+            res["boxes_h"].astype(np.float64), res["boxes_o"].astype(np.float64),
+            res["object"], res["prediction"], res["scores"].astype(np.float64),
+        ))
+
+    map_twin = run_meter(twin_entries)
+    map_flax = run_meter(flax_entries)
+    assert abs(map_twin - map_flax) < 0.2, (map_twin, map_flax)
+    # With <=1e-4 score parity the real gap is numerically tiny.
+    np.testing.assert_allclose(map_flax, map_twin, atol=5e-3)
