@@ -203,6 +203,8 @@ class HOILoader:
         shard_index: int = 0,
         seed: int = 0,
         drop_last: bool = False,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.factory = factory
         self.batch_size = batch_size
@@ -212,6 +214,13 @@ class HOILoader:
         self.shard_index = shard_index
         self.seed = seed
         self.drop_last = drop_last
+        # torch-DataLoader-equivalent async input pipeline (the reference uses
+        # num_workers=4, configures/...main.py): sample decode/resize runs on
+        # a thread pool (PIL/numpy release the GIL for the heavy parts) and
+        # ``prefetch`` whole batches are collated ahead so the device never
+        # waits on host IO.  0 = fully synchronous (deterministic debugging).
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
 
         # Orientation per sample, from dataset metadata (no image decode).
@@ -247,11 +256,40 @@ class HOILoader:
     def __len__(self) -> int:
         return len(self._batches())
 
-    def __iter__(self) -> Iterator[HOIBatch]:
-        for batch_idx in self._batches():
+    def _make_batch(self, batch_idx: List[int], pool=None) -> HOIBatch:
+        if pool is not None:
+            samples = list(pool.map(self.factory.__getitem__, batch_idx))
+        else:
             samples = [self.factory[i] for i in batch_idx]
-            # Pad short batches by repeating the last sample (masked anyway
-            # by per-image results downstream via batch bookkeeping).
-            while len(samples) < self.batch_size:
-                samples.append(samples[-1])
-            yield collate(samples, with_targets=self.with_targets), batch_idx
+        # Pad short batches by repeating the last sample (masked anyway
+        # by per-image results downstream via batch bookkeeping).
+        while len(samples) < self.batch_size:
+            samples.append(samples[-1])
+        return collate(samples, with_targets=self.with_targets)
+
+    def __iter__(self) -> Iterator[HOIBatch]:
+        batches = self._batches()
+        if self.num_workers <= 0:
+            for batch_idx in batches:
+                yield self._make_batch(batch_idx), batch_idx
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_workers) as samples_pool, \
+                ThreadPoolExecutor(self.prefetch) as batch_pool:
+            pending = []
+            for batch_idx in batches[: self.prefetch]:
+                pending.append(
+                    (batch_pool.submit(self._make_batch, batch_idx, samples_pool), batch_idx)
+                )
+            cursor = self.prefetch
+            while pending:
+                fut, batch_idx = pending.pop(0)
+                if cursor < len(batches):
+                    nxt = batches[cursor]
+                    pending.append(
+                        (batch_pool.submit(self._make_batch, nxt, samples_pool), nxt)
+                    )
+                    cursor += 1
+                yield fut.result(), batch_idx

@@ -52,6 +52,8 @@ def build_argparser():
         help="loss subset driving gradients (engine-variant parity; default all)",
     )
     p.add_argument("--replicate-reference-quirks", action="store_true")
+    p.add_argument("--num-workers", default=4, type=int,
+                   help="threaded sample-load workers (reference main.py:167)")
     p.add_argument("--synthetic", action="store_true", help="tiny generated dataset smoke run")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
@@ -101,6 +103,7 @@ def main(argv=None):
     )
     train_loader = HOILoader(
         train_factory, batch, shuffle=True, with_targets=True, seed=args.random_seed,
+        num_workers=args.num_workers,
     )
     val_loader = None
     if not args.synthetic and len(args.partitions) > 1:
@@ -108,7 +111,8 @@ def main(argv=None):
             args.dataset, args.partitions[1], args.data_root, args.val_detection_dir,
             flip=False, **factory_kwargs,
         )
-        val_loader = HOILoader(val_factory, batch, shuffle=False, with_targets=False)
+        val_loader = HOILoader(val_factory, batch, shuffle=False, with_targets=False,
+                               num_workers=args.num_workers)
 
     model = SpatiallyConditionedGraph(
         num_classes=C.HICO_NUM_VERBS if args.dataset == "hicodet" else C.VCOCO_NUM_ACTIONS,

@@ -155,3 +155,23 @@ def test_canvas_pad_region_is_mean_pixel():
     np.testing.assert_allclose(
         out[:, nw:], np.broadcast_to(np.asarray(C.IMAGE_MEAN, np.float32),
                                      out[:, nw:].shape), atol=1e-6)
+
+
+def test_threaded_loader_matches_synchronous(factory):
+    """num_workers > 0 must change only the schedule, not a single byte of
+    the batches: same order, same collated contents as the sync loader."""
+    import numpy as np
+
+    from skghoi_tpu.data.factory import HOILoader
+
+    f = factory
+    sync = HOILoader(f, 2, shuffle=True, with_targets=True, seed=3)
+    thr = HOILoader(f, 2, shuffle=True, with_targets=True, seed=3,
+                    num_workers=3, prefetch=2)
+    got_s = list(sync)
+    got_t = list(thr)
+    assert len(got_s) == len(got_t) > 0
+    for (bs, idx_s), (bt, idx_t) in zip(got_s, got_t):
+        assert idx_s == idx_t
+        for a, b in zip(bs[:7], bt[:7]):  # all non-target fields
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
