@@ -47,11 +47,21 @@ from skghoi_tpu.kge import (
 )
 from skghoi_tpu.kge.sampling import DeviceKG
 
+def _trans_margin(a):
+    """OpenKE margin_flag semantics: with a rank-based loss the model's
+    forward is the raw distance (the margin lives in MarginLoss); with
+    sigmoid/softplus losses the adversarial examples construct
+    ``TransX(margin=m)`` so forward becomes ``margin - distance`` — the
+    higher-is-better score those losses require
+    (``examples/train_transe_WN18_adv_sigmoidloss.py:29``, ``Model.forward``)."""
+    return a.margin if a.loss in ("sigmoid", "softplus") else None
+
+
 MODELS = {
-    "transe": lambda a, d: TransE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
-    "transh": lambda a, d: TransH(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
-    "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, score_chunk=a.score_chunk),
-    "transd": lambda a, d: TransD(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm),
+    "transe": lambda a, d: TransE(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, margin=_trans_margin(a)),
+    "transh": lambda a, d: TransH(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, margin=_trans_margin(a)),
+    "transr": lambda a, d: TransR(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, score_chunk=a.score_chunk, margin=_trans_margin(a)),
+    "transd": lambda a, d: TransD(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim_e=a.dim, dim_r=a.dim, p_norm=a.p_norm, norm_flag=not a.no_norm, margin=_trans_margin(a)),
     "distmult": lambda a, d: DistMult(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim,
                                       margin=a.init_margin, epsilon=a.init_epsilon),
     "complex": lambda a, d: ComplEx(ent_tot=d.ent_tot, rel_tot=d.rel_tot, dim=a.dim),

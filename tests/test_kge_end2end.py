@@ -95,3 +95,51 @@ def test_distmult_softplus_adagrad_memorizes_ring():
     params = trainer.run()
     res = Tester(m, params, data, chunk_size=4).run_link_prediction(log_fn=lambda s: None)
     assert res.hit10 > 0.9, res
+
+
+def test_transe_sigmoid_adv_memorizes_ring():
+    """Regression for the margin_flag inversion: a sigmoid-adv TransE (the
+    WN18RR adversarial recipe shape) must be constructed with
+    ``margin=...`` so forward = margin - distance (higher-better, what
+    SigmoidLoss optimizes). Without it, training is inverted and this
+    memorization check collapses to ~0."""
+    from skghoi_tpu.kge.losses import SigmoidLoss
+
+    data = ring_kg()
+    kg = DeviceKG.from_kgdata(data)
+    model = TransE(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=16,
+                   p_norm=1, norm_flag=False, margin=6.0)
+    params = model.init(jax.random.PRNGKey(0), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+
+    strategy = NegativeSampling(loss=SigmoidLoss(adv_temperature=1.0))
+    trainer = Trainer(
+        model, params, strategy, kg,
+        nbatches=2, neg_rate=8, bern=False, train_times=400,
+        alpha=0.05, opt_method="adam", log_fn=lambda s: None,
+        sampling_mode="oneside",
+    )
+    params = trainer.run()
+    tester = Tester(model, params, data, chunk_size=4)
+    res = tester.run_link_prediction(log_fn=lambda s: None)
+    assert res.hit10 > 0.9, res
+
+
+def test_train_kge_cli_passes_margin_for_sigmoid_loss():
+    """The CLI constructor must apply OpenKE's margin_flag semantics."""
+    import argparse
+
+    from skghoi_tpu.tools.train_kge import MODELS, build_argparser
+
+    parser = build_argparser()
+    ns = parser.parse_args(["--data", "x", "--model", "transe", "--loss", "sigmoid",
+                            "--margin", "6.0"])
+
+    class D:
+        ent_tot, rel_tot = 10, 2
+
+    m = MODELS["transe"](ns, D)
+    assert m.margin == 6.0
+    ns2 = parser.parse_args(["--data", "x", "--model", "transe", "--loss", "margin",
+                             "--margin", "6.0"])
+    m2 = MODELS["transe"](ns2, D)
+    assert m2.margin is None
