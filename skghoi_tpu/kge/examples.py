@@ -94,10 +94,14 @@ EXAMPLES = {
         model="rescal", dim=50, loss="margin", margin=1.0,
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=0.1, opt="adagrad",
     ),
+    # No shipped FB15K237 RotatE script; the published RotatE(+adv) 0.522 row
+    # (README.md:98) is approached with the WN18RR adv script's shape carried
+    # over: batch 2000 (272115 triples -> 136 nbatches), neg 64, sigmoid adv
+    # T=1, adam 2e-5 (1000 epochs = 136k steps, the RotatE paper's step scale).
     "rotate_fb15k237": dict(
         sampling_mode="oneside",
         model="rotate", dim=1024, margin=6.0, loss="sigmoid", adv_temperature=1.0,
-        nbatches=100, neg_ent=25, bern=False, epochs=1000, alpha=2e-5, opt="adam",
+        nbatches=136, neg_ent=64, bern=False, epochs=1000, alpha=2e-5, opt="adam",
     ),
     "hole_fb15k237": dict(
         model="hole", dim=100, loss="softplus", regul_rate=0.05,
