@@ -17,11 +17,20 @@ import optax
 from skghoi_tpu import constants as C
 
 
+_FROZEN_BN = {"stem_bn", "bn1", "bn2", "bn3", "downsample_bn"}
+
+
 def _label_params(params) -> dict:
-    """'detector' for backbone/neck parameters, 'head' for the rest."""
+    """'detector' for backbone/neck parameters, 'head' for the rest; 'frozen'
+    for FrozenBatchNorm scale/bias — torch FrozenBatchNorm2d affine terms are
+    buffers (never in ``named_parameters``), so the reference's optimizer
+    never sees them (``main.py:113``); training them here would both drift
+    from the reference and waste gradient compute."""
 
     def label(path, _):
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if any(k in _FROZEN_BN for k in keys):
+            return "frozen"
         return "detector" if "detector" in keys else "head"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -43,4 +52,7 @@ def build_optimizer(
         return optax.adamw(lambda step: schedule(step) * scale, weight_decay=weight_decay)
 
     labels = _label_params(params)
-    return optax.multi_transform({"detector": group(lr_decay), "head": group(1.0)}, labels)
+    return optax.multi_transform(
+        {"detector": group(lr_decay), "head": group(1.0), "frozen": optax.set_to_zero()},
+        labels,
+    )

@@ -55,3 +55,29 @@ def test_resume_roundtrip(setup, tmp_path):
     # Training continues cleanly from the restored state.
     engine2.run(1)
     assert engine2.epoch == 2
+
+
+def test_frozen_bn_params_never_update():
+    """torch FrozenBatchNorm2d affine terms are buffers: the reference's
+    optimizer never touches them (main.py:113). Our multi_transform must
+    pin them with set_to_zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from skghoi_tpu.train.optimizer import build_optimizer
+
+    params = {
+        "detector": {"stem_bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+                     "stem_conv": {"kernel": jnp.ones((3, 3, 3, 4))}},
+        "head": {"fc": {"kernel": jnp.ones((4, 4))}},
+    }
+    tx = build_optimizer(params, learning_rate=0.1)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["detector"]["stem_bn"]["scale"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(updates["detector"]["stem_bn"]["bias"]), 0.0)
+    assert float(jnp.abs(updates["detector"]["stem_conv"]["kernel"]).max()) > 0
+    assert float(jnp.abs(updates["head"]["fc"]["kernel"]).max()) > 0
