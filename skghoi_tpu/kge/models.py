@@ -68,6 +68,12 @@ def _p_norm(x: Array, p: int, axis: int = -1) -> Array:
     return jnp.sum(jnp.abs(x) ** p, axis=axis) ** (1.0 / p)
 
 
+
+def _embed1(embed: nn.Embed, idx: Array) -> Array:
+    """Scalar-index lookup that survives flax's ``num_embeddings == 1``
+    broadcast special case (which rejects 0-d inputs)."""
+    return embed(jnp.reshape(idx, (1,)))[0]
+
 def _mean_sq(*tensors: Array) -> Array:
     return sum(jnp.mean(t**2) for t in tensors) / len(tensors)
 
@@ -158,6 +164,25 @@ class TransE(KGEModel):
         dist = _p_norm(ne - base[:, None, :], self.p_norm)
         return self.margin - dist if self.margin is not None else dist
 
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        """Distances of one (anchor, r) query against every entity, computed
+        against the whole table (one fused broadcast-reduce; no per-(query,
+        entity) gathers).  Raw distance — lower is better — regardless of
+        margin mode (the rank_scores contract)."""
+        ents = self.ent_embeddings.embedding
+        a = _embed1(self.ent_embeddings, anchor)
+        re = _embed1(self.rel_embeddings, r)
+        if self.norm_flag:
+            ents, a, re = _l2_normalize(ents), _l2_normalize(a), _l2_normalize(re)
+        base = a + re if anchor_is_head else a - re
+        return _p_norm(ents - base[None, :], self.p_norm)
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
+
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
 
@@ -224,6 +249,25 @@ class TransH(KGEModel):
         base = jnp.where(corrupt_tail[:, None], hp + re, tp - re)
         dist = _p_norm(ne - base[:, None, :], self.p_norm)
         return self.margin - dist if self.margin is not None else dist
+
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        """All-entity distances for one query: the whole table is projected
+        onto the relation hyperplane once (one [E, dim] op), then the TransE
+        base fold applies.  Lower is better, margin-independent."""
+        w = _embed1(self.norm_vector, r)
+        ents = self._transfer(self.ent_embeddings.embedding, w[None, :])
+        a = self._transfer(_embed1(self.ent_embeddings, anchor), w)
+        re = _embed1(self.rel_embeddings, r)
+        if self.norm_flag:
+            ents, a, re = _l2_normalize(ents), _l2_normalize(a), _l2_normalize(re)
+        base = a + re if anchor_is_head else a - re
+        return _p_norm(ents - base[None, :], self.p_norm)
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
 
     def embeddings_and_score(self, h, t, r):
         """Raw (untransferred) embeddings + score, the tuple the reference's
@@ -411,6 +455,25 @@ class TransD(KGEModel):
         s = self.score(h, t, r)
         return self.margin - s if self.margin is not None else s
 
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        """All-entity distances for one query via whole-table dynamic
+        projection (two [E, dim] tables read once; no [C, E, dim] gather —
+        this is also what keeps dim-1024 eval inside HBM)."""
+        rt = _embed1(self.rel_transfer, r)
+        ents = self._transfer(self.ent_embeddings.embedding, self.ent_transfer.embedding, rt[None, :])
+        a = self._transfer(_embed1(self.ent_embeddings, anchor), _embed1(self.ent_transfer, anchor), rt)
+        re = _embed1(self.rel_embeddings, r)
+        if self.norm_flag:
+            ents, a, re = _l2_normalize(ents), _l2_normalize(a), _l2_normalize(re)
+        base = a + re if anchor_is_head else a - re
+        return _p_norm(ents - base[None, :], self.p_norm)
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
+
     def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
         # The negative side still needs its own ent_transfer gather, but the
         # positive pair + relation fold into one [B, dim_r] base.
@@ -480,6 +543,19 @@ class DistMult(KGEModel):
         base = jnp.where(corrupt_tail[:, None], he * re, re * te)
         return jnp.sum(self.ent_embeddings(neg_ent) * base[:, None, :], -1)
 
+    def _rank_all(self, anchor: Array, r: Array) -> Array:
+        # score(h, t, r) = <h*t, r> is symmetric in h/t, so both sides rank
+        # with the same base: one [E, dim] x [dim] matvec per query (an MXU
+        # matmul once the Tester vmaps the chunk).  Negated: lower-is-better.
+        base = _embed1(self.ent_embeddings, anchor) * _embed1(self.rel_embeddings, r)
+        return -(self.ent_embeddings.embedding @ base)
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r)
+
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))
 
@@ -523,6 +599,28 @@ class ComplEx(KGEModel):
         base_im = jnp.where(ct, h_im * r_re + h_re * r_im, t_im * r_re - t_re * r_im)
         n_re, n_im = self.ent_re_embeddings(neg_ent), self.ent_im_embeddings(neg_ent)
         return jnp.sum(n_re * base_re[:, None, :] + n_im * base_im[:, None, :], -1)
+
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        # Linear in the replaced side (see score_one_side): two matvecs
+        # against the re/im tables per query, negated (lower-is-better).
+        a_re, a_im = _embed1(self.ent_re_embeddings, anchor), _embed1(self.ent_im_embeddings, anchor)
+        r_re, r_im = _embed1(self.rel_re_embeddings, r), _embed1(self.rel_im_embeddings, r)
+        if anchor_is_head:  # ranking tails
+            base_re = a_re * r_re - a_im * r_im
+            base_im = a_im * r_re + a_re * r_im
+        else:  # ranking heads
+            base_re = a_re * r_re + a_im * r_im
+            base_im = a_im * r_re - a_re * r_im
+        return -(
+            self.ent_re_embeddings.embedding @ base_re
+            + self.ent_im_embeddings.embedding @ base_im
+        )
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
 
     def regularization(self, h, t, r):
         return _mean_sq(
@@ -689,6 +787,31 @@ class RotatE(KGEModel):
         d_im = im_n - base_im[:, None, :]
         dist = jnp.sum(jnp.sqrt(d_re**2 + d_im**2 + 1e-30), -1)
         return self.margin - dist
+
+    def _rank_all(self, anchor: Array, r: Array, anchor_is_head: bool) -> Array:
+        # Unit rotations preserve pointwise modulus (see score_one_side), so
+        # every entity's distance is ||e - base|| against the whole table.
+        # Returns raw distance (lower-is-better, the rank_scores contract).
+        ae = _embed1(self.ent_embeddings, anchor)
+        phase = _embed1(self.rel_embeddings, r) / (self._rel_range / jnp.pi)
+        re_r, im_r = jnp.cos(phase), jnp.sin(phase)
+        re_a, im_a = jnp.split(ae, 2, axis=-1)
+        if anchor_is_head:  # ranking tails: base = h*r
+            base_re = re_a * re_r - im_a * im_r
+            base_im = re_a * im_r + im_a * re_r
+        else:  # ranking heads: base = t*conj(r)
+            base_re = re_a * re_r + im_a * im_r
+            base_im = im_a * re_r - re_a * im_r
+        re_e, im_e = jnp.split(self.ent_embeddings.embedding, 2, axis=-1)
+        d_re = re_e - base_re[None, :]
+        d_im = im_e - base_im[None, :]
+        return jnp.sum(jnp.sqrt(d_re**2 + d_im**2 + 1e-30), -1)
+
+    def rank_all_tails(self, h: Array, r: Array) -> Array:
+        return self._rank_all(h, r, anchor_is_head=True)
+
+    def rank_all_heads(self, t: Array, r: Array) -> Array:
+        return self._rank_all(t, r, anchor_is_head=False)
 
     def regularization(self, h, t, r):
         return _mean_sq(self.ent_embeddings(h), self.ent_embeddings(t), self.rel_embeddings(r))

@@ -1,6 +1,7 @@
 """KGE model scoring vs manual numpy formulas on hand-set parameters."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -197,3 +198,42 @@ def test_transr_chunked_score_matches_direct():
         jax.tree_util.tree_leaves(g_got), jax.tree_util.tree_leaves(g_want)
     ):
         np.testing.assert_allclose(np.asarray(ka), np.asarray(kb), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model", [
+    TransE(ent_tot=E, rel_tot=R, dim=D, p_norm=1, norm_flag=True),
+    TransE(ent_tot=E, rel_tot=R, dim=D, p_norm=2, norm_flag=False, margin=6.0),
+    TransH(ent_tot=E, rel_tot=R, dim=D, p_norm=1, norm_flag=True),
+    TransH(ent_tot=E, rel_tot=R, dim=D, p_norm=1, norm_flag=False, margin=6.0),
+    TransD(ent_tot=E, rel_tot=R, dim_e=D, dim_r=D // 2, p_norm=1, norm_flag=True),
+    DistMult(ent_tot=E, rel_tot=R, dim=D),
+    ComplEx(ent_tot=E, rel_tot=R, dim=D),
+    RotatE(ent_tot=E, rel_tot=R, dim=D, margin=6.0),
+], ids=lambda m: type(m).__name__ + str(getattr(m, "margin", None)))
+def test_rank_all_fast_paths_match_rank_scores(model):
+    """The whole-table ranking fast paths (one fused broadcast-reduce or
+    matvec per query; no [query, entity] gathers) must order entities exactly
+    like the generic rank_scores broadcast — both sides, margin or not.
+    Monotonic-consistency is what the Tester relies on: compare via argsort
+    AND via values up to a per-query constant shift."""
+    params = model.init(KEY, H, T, REL)
+    ents = jnp.arange(E, dtype=jnp.int32)
+    a, r = jnp.asarray(3, jnp.int32), jnp.asarray(1, jnp.int32)
+
+    # tails: replace t
+    generic_t = model.apply(params, jnp.full((E,), a), ents, jnp.full((E,), r),
+                            method="rank_scores")
+    fast_t = model.apply(params, a, r, method="rank_all_tails")
+    # heads: replace h
+    generic_h = model.apply(params, ents, jnp.full((E,), a), jnp.full((E,), r),
+                            method="rank_scores")
+    fast_h = model.apply(params, a, r, method="rank_all_heads")
+
+    for fast, generic in ((fast_t, generic_t), (fast_h, generic_h)):
+        fast, generic = np.asarray(fast, np.float64), np.asarray(generic, np.float64)
+        # values equal up to one constant offset (margin shift conventions)
+        delta = fast - generic
+        np.testing.assert_allclose(delta, delta[0], rtol=0, atol=5e-5)
+        # and therefore identical rankings
+        np.testing.assert_array_equal(np.argsort(fast, kind="stable"),
+                                      np.argsort(generic, kind="stable"))
