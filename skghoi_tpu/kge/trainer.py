@@ -64,7 +64,15 @@ class Trainer:
         log_fn: Callable[[str], None] = print,
         seed: int = 0,
         sampling_mode: str = "normal",
+        mesh=None,
     ):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh`` with a ``data`` axis.
+        When given, each device draws its own ``batch_size / n_devices``
+        slice in-graph and gradients are ``psum``-averaged before the
+        (replicated) optimizer update — the TPU-native counterpart of the
+        per-worker sampling + DDP all-reduce the reference would use (OpenKE
+        itself is single-GPU; the HOI side's engine is the DDP reference,
+        ``utils.py:209-210``)."""
         self.model = model
         self.params = params
         self.kg = kg
@@ -84,22 +92,55 @@ class Trainer:
         # ~3x less gather/scatter traffic per step on TPU.
         sampler = sample_batch_oneside if sampling_mode == "oneside" else sample_batch
 
+        n_dev = mesh.devices.size if mesh is not None else 1
+        local_bs = max(1, batch_size // n_dev)
+
         def loss_fn(params, key):
-            batch = sampler(key, kg, batch_size, neg_rate, bern=bern, filtered=filtered)
+            batch = sampler(key, kg, local_bs if mesh is not None else batch_size,
+                            neg_rate, bern=bern, filtered=filtered)
             return strategy(model, params, batch)
 
         def step(carry, key):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            if mesh is not None:
+                # Per-device batches -> DDP-style gradient/loss mean.
+                grads = jax.lax.pmean(grads, "data")
+                loss = jax.lax.pmean(loss, "data")
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch(params, opt_state, key):
-            keys = jax.random.split(key, nbatches)
-            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
-            return params, opt_state, jnp.sum(losses)
+        if mesh is None:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def epoch(params, opt_state, key):
+                keys = jax.random.split(key, nbatches)
+                (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+                return params, opt_state, jnp.sum(losses)
+
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            @partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), P(), P("data")),
+                out_specs=(P(), P(), P()),
+                check_rep=False,
+            )
+            def sharded_epoch(params, opt_state, dev_keys):
+                keys = jax.vmap(lambda i: jax.random.fold_in(dev_keys[0], i))(
+                    jnp.arange(nbatches)
+                )
+                (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+                return params, opt_state, jnp.sum(losses)
+
+            jitted = jax.jit(sharded_epoch, donate_argnums=(0, 1))
+
+            def epoch(params, opt_state, key):
+                dev_keys = jax.random.split(key, n_dev)
+                return jitted(params, opt_state, dev_keys)
 
         self._epoch = epoch
 

@@ -99,6 +99,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--opt", default="sgd", choices=["sgd", "adam", "adagrad", "adadelta"])
     p.add_argument("--regul-rate", type=float, default=0.0)
     p.add_argument("--l3-regul-rate", type=float, default=0.0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard per-step sampling over all local devices and "
+                        "pmean gradients (DDP counterpart; no-op on one chip)")
     p.add_argument("--sampling-mode", default="normal", choices=["normal", "oneside"],
                    help="'oneside': per-row corruption side + folded scoring "
                         "(the reference's cross-mode structure; ~3x less HBM "
@@ -183,6 +186,8 @@ def main(argv=None):
         filtered=not args.no_filter, train_times=args.epochs,
         alpha=args.alpha, opt_method=args.opt, seed=args.seed,
         sampling_mode=args.sampling_mode,
+        mesh=__import__("skghoi_tpu.parallel.mesh", fromlist=["make_mesh"]).make_mesh()
+        if args.data_parallel else None,
     )
     t0 = time.time()
     params = trainer.run()

@@ -143,3 +143,28 @@ def test_train_kge_cli_passes_margin_for_sigmoid_loss():
                              "--margin", "6.0"])
     m2 = MODELS["transe"](ns2, D)
     assert m2.margin is None
+
+
+def test_mesh_data_parallel_trainer_memorizes_ring():
+    """DDP-style KGE training over the 8-device mesh: per-device in-graph
+    sampling + pmean'd gradients must learn like the single-device path
+    (OpenKE is single-GPU; this is the TPU-native scaling counterpart)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from skghoi_tpu.parallel.mesh import make_mesh
+
+    data = ring_kg()
+    kg = DeviceKG.from_kgdata(data)
+    model = TransE(ent_tot=data.ent_tot, rel_tot=data.rel_tot, dim=16, p_norm=1, norm_flag=True)
+    params = model.init(jax.random.PRNGKey(0), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+    trainer = Trainer(
+        model, params, NegativeSampling(loss=MarginLoss(margin=5.0)), kg,
+        nbatches=2, neg_rate=4, bern=False, train_times=300,
+        alpha=0.5, opt_method="sgd", log_fn=lambda s: None,
+        mesh=make_mesh(),
+    )
+    params = trainer.run()
+    res = Tester(model, params, data, chunk_size=4).run_link_prediction(log_fn=lambda s: None)
+    assert res.hit10 > 0.9, res
