@@ -45,7 +45,7 @@ EXAMPLES = {
     "transr_wn18rr": dict(
         model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
-        score_chunk=4096, transe_init_epochs=1,
+        sampling_mode="oneside", transe_init_epochs=1,
     ),
     "transd_wn18rr": dict(
         sampling_mode="oneside",
@@ -61,10 +61,14 @@ EXAMPLES = {
     # train_transr_FB15K237.py:24-60 — published 0.511 requires the 1-epoch
     # TransE warm start; score_chunk bounds the per-triple matrix gather so
     # dim-200 training fits single-chip HBM.
+    # sampling_mode oneside: the specialized score_one_side gathers ONE
+    # transfer matrix per row, so dim-200 training fits without the chunked
+    # lax.map score path (whose checkpoint-in-scan nesting faults the TPU
+    # runtime — three crashes on this box).
     "transr_fb15k237": dict(
         model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
-        score_chunk=4096, transe_init_epochs=1,
+        sampling_mode="oneside", transe_init_epochs=1,
     ),
     "transd_fb15k237": dict(
         model="transd", dim=200, p_norm=1, margin=4.0, loss="margin",

@@ -392,6 +392,24 @@ class TransR(KGEModel):
     def rank_all_heads(self, t: Array, r: Array) -> Array:
         return self._rank_all(t, r, anchor_is_head=False)
 
+    def score_one_side(self, pos_h, pos_t, pos_r, neg_ent, corrupt_tail):
+        # One [dim_e, dim_r] transfer matrix gather per ROW (not per
+        # negative): the K negatives share the positive's relation, so the
+        # projection is a batched einsum.  This is what makes dim-200 TransR
+        # training fit without the chunked lax.map path (whose
+        # checkpoint-in-scan nesting faults the TPU runtime).
+        b = pos_r.shape[0]
+        m = self.transfer_matrix(pos_r).reshape(b, self.dim_e, self.dim_r)
+        hp = jnp.einsum("be,ber->br", self.ent_embeddings(pos_h), m)
+        tp = jnp.einsum("be,ber->br", self.ent_embeddings(pos_t), m)
+        ne = jnp.einsum("bke,ber->bkr", self.ent_embeddings(neg_ent), m)
+        re = self.rel_embeddings(pos_r)
+        if self.norm_flag:
+            hp, tp, re, ne = (_l2_normalize(x) for x in (hp, tp, re, ne))
+        base = jnp.where(corrupt_tail[:, None], hp + re, tp - re)
+        dist = _p_norm(ne - base[:, None, :], self.p_norm)
+        return self.margin - dist if self.margin is not None else dist
+
     def regularization(self, h, t, r):
         regul = _mean_sq(
             self.ent_embeddings(h),

@@ -22,6 +22,7 @@ from skghoi_tpu.kge.models import (
     TransD,
     TransE,
     TransH,
+    TransR,
 )
 
 E, R, B, K, DIM = 40, 7, 12, 9, 16
@@ -52,6 +53,8 @@ MODELS = [
     TransH(ent_tot=E, rel_tot=R, dim=DIM, p_norm=2, norm_flag=False),
     TransD(ent_tot=E, rel_tot=R, dim_e=DIM, dim_r=DIM, p_norm=1, norm_flag=True),
     TransD(ent_tot=E, rel_tot=R, dim_e=DIM, dim_r=12, p_norm=1, norm_flag=False),
+    TransR(ent_tot=E, rel_tot=R, dim_e=DIM, dim_r=DIM, p_norm=1, norm_flag=True),
+    TransR(ent_tot=E, rel_tot=R, dim_e=DIM, dim_r=12, p_norm=1, norm_flag=True, margin=4.0),
     DistMult(ent_tot=E, rel_tot=R, dim=DIM),
     ComplEx(ent_tot=E, rel_tot=R, dim=DIM),
     RotatE(ent_tot=E, rel_tot=R, dim=DIM, margin=6.0),
