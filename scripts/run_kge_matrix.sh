@@ -17,8 +17,11 @@ FB="$BENCH/FB15K237"
 run() {
   data="$1"; example="$2"
   echo "=== $(date +%H:%M:%S) $example"
+  # --checkpoint saves trained params BEFORE eval, so an eval-side failure
+  # (e.g. OOM at a large eval chunk) never loses the training run.
   python -u -m skghoi_tpu.tools.train_kge \
-    --data "$data" --example "$example" --json --json-out "$OUT"
+    --data "$data" --example "$example" --json --json-out "$OUT" \
+    --checkpoint "checkpoints/kge_${example}.ckpt"
 }
 
 # FB15K237 (published: TransE .476 TransH .490 TransR .511 TransD .487
