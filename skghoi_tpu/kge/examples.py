@@ -59,12 +59,11 @@ EXAMPLES = {
         nbatches=100, neg_ent=25, bern=True, epochs=500, alpha=0.5, opt="sgd",
     ),
     # train_transr_FB15K237.py:24-60 — published 0.511 requires the 1-epoch
-    # TransE warm start; score_chunk bounds the per-triple matrix gather so
-    # dim-200 training fits single-chip HBM.
-    # sampling_mode oneside: the specialized score_one_side gathers ONE
-    # transfer matrix per row, so dim-200 training fits without the chunked
-    # lax.map score path (whose checkpoint-in-scan nesting faults the TPU
-    # runtime — three crashes on this box).
+    # TransE warm start.  sampling_mode oneside: the specialized
+    # score_one_side gathers ONE transfer matrix per row, so dim-200
+    # training fits single-chip HBM without the chunked lax.map score path
+    # (whose checkpoint-in-scan nesting faults the TPU runtime worker —
+    # reproduced three times on this box, chunk 4096 and 1024 alike).
     "transr_fb15k237": dict(
         model="transr", dim=200, p_norm=1, margin=4.0, loss="margin",
         nbatches=100, neg_ent=25, bern=True, epochs=1000, alpha=1.0, opt="sgd",
