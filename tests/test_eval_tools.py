@@ -159,3 +159,23 @@ def test_mat_cache_layout(synth, tmp_path):
     # pixel-index conversion applied to the x2/y2 corner only
     np.testing.assert_allclose(entry[0, :4], [1, 1, 10, 10])
     np.testing.assert_allclose(entry[0, 8], 0.7, rtol=1e-6)
+
+
+def test_kge_results_table_renders(tmp_path, capsys):
+    import json
+
+    from skghoi_tpu.tools.kge_results_table import main
+
+    path = tmp_path / "r.jsonl"
+    rows = [
+        dict(model="transe", data="/x/WN18RR", example="transe_wn18rr",
+             hit10=0.533, mrr=0.232, steps_per_second=46.4),
+        dict(model="transe", data="/x/WN18RR", example="transe_wn18rr",
+             hit10=0.031, mrr=0.01, steps_per_second=48.0),  # superseded by...
+    ]
+    rows.append(dict(rows[0]))  # ...the rerun (last wins)
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    main([str(path)])
+    out = capsys.readouterr().out
+    assert "transe_wn18rr" in out and "0.533" in out and "+0.021" in out
+    assert "0.031" not in out  # the superseded inverted run is not shown
