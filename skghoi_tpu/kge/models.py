@@ -74,6 +74,34 @@ def _embed1(embed: nn.Embed, idx: Array) -> Array:
     broadcast special case (which rejects 0-d inputs)."""
     return embed(jnp.reshape(idx, (1,)))[0]
 
+
+@jax.custom_vjp
+def _segment_gather(table: Array, idx: Array) -> Array:
+    """``table[idx]`` whose backward is a one-hot matmul instead of a
+    scatter-add.
+
+    XLA serializes scatter-adds with duplicate indices; a [B] gather from a
+    few-hundred-row table (TransR's per-relation transfer matrices: B≈2700
+    rows funnelling into 237 slots) pays ~60 ms/step in that serialization.
+    The adjoint is exactly ``one_hot(idx)^T @ dOut`` — one [R, B] x [B, F]
+    MXU matmul, sub-millisecond at the same shapes."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _segment_gather_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _segment_gather_bwd(res, g):
+    idx, num_rows = res
+    onehot = jax.nn.one_hot(idx, num_rows, dtype=g.dtype)  # [B, R]
+    flat = g.reshape(g.shape[0], -1)
+    dtable = jnp.einsum("br,bf->rf", onehot, flat).reshape((num_rows,) + g.shape[1:])
+    return dtable, None
+
+
+_segment_gather.defvjp(_segment_gather_fwd, _segment_gather_bwd)
+
 def _mean_sq(*tensors: Array) -> Array:
     return sum(jnp.mean(t**2) for t in tensors) / len(tensors)
 
@@ -397,9 +425,13 @@ class TransR(KGEModel):
         # negative): the K negatives share the positive's relation, so the
         # projection is a batched einsum.  This is what makes dim-200 TransR
         # training fit without the chunked lax.map path (whose
-        # checkpoint-in-scan nesting faults the TPU runtime).
+        # checkpoint-in-scan nesting faults the TPU runtime).  The gather
+        # goes through _segment_gather so its backward is a one-hot matmul
+        # rather than a duplicate-index scatter (~60 ms/step serialized).
         b = pos_r.shape[0]
-        m = self.transfer_matrix(pos_r).reshape(b, self.dim_e, self.dim_r)
+        m = _segment_gather(self.transfer_matrix.embedding, pos_r).reshape(
+            b, self.dim_e, self.dim_r
+        )
         hp = jnp.einsum("be,ber->br", self.ent_embeddings(pos_h), m)
         tp = jnp.einsum("be,ber->br", self.ent_embeddings(pos_t), m)
         ne = jnp.einsum("bke,ber->bkr", self.ent_embeddings(neg_ent), m)
