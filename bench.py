@@ -29,7 +29,15 @@ import json
 import time
 
 
-def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
+def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
+            repeats: int = 3) -> dict:
+    """Returns {"median": img/s, "min": ..., "max": ...} over ``repeats``
+    independent chained measurements (round-2 lesson: the shared tunnel
+    drifts several percent between sessions; a single measurement lost 15%
+    of a real improvement to noise, so the scoreboard number is a median
+    with the spread recorded alongside)."""
+    import statistics
+
     import jax
     import jax.numpy as jnp
 
@@ -53,16 +61,23 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(chain(variables, batch, 1))  # compile + warmup, synced by fetch
-    t1 = time.perf_counter()
-    float(chain(variables, batch, 1))
-    t_one = time.perf_counter() - t1
-    t0 = time.perf_counter()
-    float(chain(variables, batch, iters + 1))
-    t_many = time.perf_counter() - t0
-    # Subtract the single-iteration run (which carries the constant host
-    # round-trip) to isolate per-iteration device time.
-    per_iter = (t_many - t_one) / iters
-    return batch_size / per_iter
+    samples = []
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        float(chain(variables, batch, 1))
+        t_one = time.perf_counter() - t1
+        t0 = time.perf_counter()
+        float(chain(variables, batch, iters + 1))
+        t_many = time.perf_counter() - t0
+        # Subtract the single-iteration run (which carries the constant host
+        # round-trip) to isolate per-iteration device time.
+        per_iter = (t_many - t_one) / iters
+        samples.append(batch_size / per_iter)
+    return {
+        "median": statistics.median(samples),
+        "min": min(samples),
+        "max": max(samples),
+    }
 
 
 def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6) -> float:
@@ -90,11 +105,14 @@ def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6) -> fl
 
     params, opt_state, total, losses, _ = step(params, extra, opt_state, batch, rng)  # compile
     jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, total, losses, _ = step(params, extra, opt_state, batch, rng)
-    jax.block_until_ready(losses)
-    return batch_size / ((time.perf_counter() - t0) / iters)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, total, losses, _ = step(params, extra, opt_state, batch, rng)
+        jax.block_until_ready(losses)
+        samples.append(batch_size / ((time.perf_counter() - t0) / iters))
+    return sorted(samples)[1]  # median of 3
 
 
 def main():
@@ -115,7 +133,12 @@ def main():
         )
         return
 
-    images_per_sec = measure()
+    # Pin the workload geometry: an env knob must never silently change what
+    # the scoreboard number measures (it is recorded in the output instead).
+    batch_size = int(os.environ.get("SKGHOI_BENCH_BATCH", "8"))
+    tall_frac = float(os.environ.get("SKGHOI_BENCH_TALL_FRAC", "0.1"))
+    stats = measure(batch_size=batch_size)
+    images_per_sec = stats["median"]
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
@@ -127,8 +150,12 @@ def main():
             {
                 "metric": "hoi_inference_images_per_sec",
                 "value": round(images_per_sec, 2),
-                "unit": "img/s (832x1344, bf16, single chip)",
+                "unit": f"img/s (832x1344, bf16, batch {batch_size}, single chip; "
+                        "median of 3 chained runs)",
                 "vs_baseline": round(images_per_sec / baseline, 3),
+                "spread": {"min": round(stats["min"], 2), "max": round(stats["max"], 2)},
+                "config": {"batch": batch_size, "canvas": [832, 1344],
+                           "tall_frac": tall_frac},
             }
         )
     )

@@ -23,3 +23,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# Marker map (one place, no per-file edits): the suite outgrew a single
+# sitting on one core, so heavy modules carry ``slow`` and the CI-shaped
+# fast subset is ``pytest -m "not slow" tests/``.
+_SLOW_MODULES = {
+    "test_multichip",          # sharded step == single device (minutes)
+    "test_multichip_depth",    # trajectories + orbax + 2-process rendezvous
+    "test_reference_parity",   # full-model twin parity (~1 min)
+    "test_training_learns",    # repeated SCG train steps
+    "test_engine_resume",      # synthetic pipeline + checkpoint round trip
+    "test_model_forward",      # full SCG compile
+    "test_detr",               # transformer compile + converter
+    "test_frcnn",              # detector compile + converter
+    "test_detector",           # detector training overfit
+    "test_torch_converter",    # full-model weight conversion
+    "test_cli_pipeline",       # chained argparse mains over a tmpdir
+    "test_adamixer",           # decoder compile + oracle + overfit
+}
+_MESH_MODULES = {"test_multichip", "test_multichip_depth"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        if mod in _MESH_MODULES:
+            item.add_marker(pytest.mark.mesh)
