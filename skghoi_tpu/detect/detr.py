@@ -126,19 +126,22 @@ class DETRDetections(NamedTuple):
 
 
 class DETR(nn.Module):
-    """DETR-R50 inference: images -> per-query (box, label, score)."""
+    """DETR-R50: images -> per-query (box, label, score); ``raw`` method for
+    training (set-prediction loss needs the unpostprocessed outputs)."""
 
     num_classes: int = 91  # COCO id space; logits have +1 no-object slot
+    num_layers: int = N_LAYERS
+    num_queries: int = N_QUERIES
     dtype: Any = jnp.float32
 
     def setup(self):
         self.body = ResNet50(dtype=self.dtype)
         self.input_proj = nn.Conv(D_MODEL, (1, 1), name="input_proj", dtype=self.dtype)
-        self.encoder = [EncoderLayer(name=f"enc{i}") for i in range(N_LAYERS)]
-        self.decoder = [DecoderLayer(name=f"dec{i}") for i in range(N_LAYERS)]
+        self.encoder = [EncoderLayer(name=f"enc{i}") for i in range(self.num_layers)]
+        self.decoder = [DecoderLayer(name=f"dec{i}") for i in range(self.num_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.query_embed = self.param(
-            "query_embed", nn.initializers.normal(1.0), (N_QUERIES, D_MODEL)
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, D_MODEL)
         )
         self.class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         self.bbox_mlp = [
@@ -147,9 +150,8 @@ class DETR(nn.Module):
             nn.Dense(4, name="bbox2"),
         ]
 
-    def __call__(self, images: Array, image_sizes: Array) -> DETRDetections:
-        """``images`` [B, H, W, 3] normalized; ``image_sizes`` [B, 2] (h, w)
-        original sizes the boxes are scaled to (``PostProcess`` semantics)."""
+    def raw(self, images: Array) -> Tuple[Array, Array]:
+        """-> (class logits [B, Q, C+1] fp32, boxes cxcywh in [0,1])."""
         c5 = self.body(images)[-1]
         feat = self.input_proj(c5.astype(self.dtype))
         b, fh, fw, _ = feat.shape
@@ -161,7 +163,9 @@ class DETR(nn.Module):
             x = layer(x, pos)
         memory = x
 
-        query_pos = jnp.broadcast_to(self.query_embed[None], (b, N_QUERIES, D_MODEL))
+        query_pos = jnp.broadcast_to(
+            self.query_embed[None], (b, self.num_queries, D_MODEL)
+        )
         tgt = jnp.zeros_like(query_pos)
         for layer in self.decoder:
             tgt = layer(tgt, memory, pos, query_pos)
@@ -174,6 +178,12 @@ class DETR(nn.Module):
             if i < 2:
                 xb = nn.relu(xb)
         boxes_cxcywh = jax.nn.sigmoid(xb)
+        return logits.astype(jnp.float32), boxes_cxcywh.astype(jnp.float32)
+
+    def __call__(self, images: Array, image_sizes: Array) -> DETRDetections:
+        """``images`` [B, H, W, 3] normalized; ``image_sizes`` [B, 2] (h, w)
+        original sizes the boxes are scaled to (``PostProcess`` semantics)."""
+        logits, boxes_cxcywh = self.raw(images)
 
         probs = jax.nn.softmax(logits, axis=-1)[..., :-1]  # drop no-object
         scores = jnp.max(probs, axis=-1)
@@ -250,3 +260,131 @@ def load_torch_detr(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     for i in range(3):
         params[f"bbox{i}"] = _linear(sd, f"bbox_embed.layers.{i}")
     return {"params": params, "batch_stats": {"body": body_stats}}
+
+
+# --------------------------------------------------------------------------
+# HICO-DET fine-tuning: 81-class head surgery + set-prediction loss
+# (``hicodet/detections/main_detr.py:139-196``)
+# --------------------------------------------------------------------------
+
+# COCO-91 logit rows kept by the surgery: 80 object classes + the no-object
+# slot (row 91), exactly ``main_detr.py:144-151``.
+DETR_SURGERY_KEEP = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90, 91,
+]
+
+# HICO-DET object index -> index in the surgered 80-class space
+# (``main_detr.py:104-110``; e.g. HICO 49 "person" -> 0).
+HICO_TO_DETR80 = [
+    4, 47, 24, 46, 34, 35, 21, 59, 13, 1, 14, 8, 73, 39, 45, 50, 5,
+    55, 2, 51, 15, 67, 56, 74, 57, 19, 41, 60, 16, 54, 20, 10, 42, 29,
+    23, 78, 26, 17, 52, 66, 33, 43, 63, 68, 3, 64, 49, 69, 12, 0, 53,
+    58, 72, 65, 48, 76, 18, 71, 36, 30, 31, 44, 32, 11, 28, 37, 77, 38,
+    27, 70, 61, 79, 9, 6, 7, 62, 25, 75, 40, 22,
+]
+
+
+def hico_head_surgery(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """80-class head surgery on a COCO-pretrained DETR ``state_dict``.
+
+    Replaces the 92-row ``class_embed`` with the 81 kept rows (80 HICO-valid
+    COCO classes + no-object), mirroring ``main_detr.py:141-157``.  The
+    returned dict loads with ``load_torch_detr`` into ``DETR(num_classes=80)``.
+    """
+    sd = dict(state_dict)
+    w = _np(sd["class_embed.weight"])
+    b = _np(sd["class_embed.bias"])
+    sd["class_embed.weight"] = w[DETR_SURGERY_KEEP]
+    sd["class_embed.bias"] = b[DETR_SURGERY_KEEP]
+    return sd
+
+
+def detr_match_cost(
+    logits: Array,  # [Q, C+1]
+    boxes_cxcywh: Array,  # [Q, 4] normalized
+    gt_boxes_cxcywh: Array,  # [G, 4] normalized
+    gt_labels: Array,  # [G]
+    cls_w: float = 1.0,
+    l1_w: float = 5.0,
+    giou_w: float = 2.0,
+) -> Array:
+    """DETR's Hungarian cost: -p[label] + L1 + GIoU (matcher.py semantics)."""
+    from skghoi_tpu.detect.adamixer import _giou
+
+    p = jax.nn.softmax(logits, axis=-1)
+    cls_cost = -p[:, gt_labels]
+    l1 = jnp.sum(jnp.abs(boxes_cxcywh[:, None] - gt_boxes_cxcywh[None]), -1)
+    giou_cost = -_giou(_cxcywh_to_xyxy(boxes_cxcywh), _cxcywh_to_xyxy(gt_boxes_cxcywh))
+    return cls_w * cls_cost + l1_w * l1 + giou_w * giou_cost
+
+
+def _cxcywh_to_xyxy(b: Array) -> Array:
+    cx, cy, w, h = jnp.moveaxis(b, -1, 0)
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def detr_set_loss(
+    logits: Array,  # [B, Q, C+1]
+    boxes_cxcywh: Array,  # [B, Q, 4]
+    assignments: Array,  # [B, G] query index per GT (-1 for invalid)
+    gt_boxes_cxcywh: Array,  # [B, G, 4]
+    gt_labels: Array,  # [B, G]
+    gt_valid: Array,  # [B, G]
+    eos_coef: float = 0.1,
+    l1_w: float = 5.0,
+    giou_w: float = 2.0,
+) -> dict:
+    """DETR criterion: CE over all queries (no-object weighted ``eos_coef``),
+    L1 + GIoU over matched pairs, both normalized by the GT count."""
+    from skghoi_tpu.detect.adamixer import _giou
+
+    b, q, c1 = logits.shape
+    no_object = c1 - 1
+    n_gt = jnp.maximum(jnp.sum(gt_valid), 1.0)
+
+    # Per-query class target: default no-object, matched queries get the GT
+    # label (scatter per image; invalid GTs scatter out of range -> dropped).
+    q_idx = jnp.where(gt_valid, assignments, q)
+    target = jnp.full((b, q + 1), no_object)
+    target = target.at[jnp.arange(b)[:, None], q_idx].set(
+        jnp.where(gt_valid, gt_labels, no_object), mode="drop"
+    )[:, :q]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    weight = jnp.where(target == no_object, eos_coef, 1.0)
+    cls_loss = jnp.sum(ce * weight) / jnp.sum(weight)
+
+    pb = jnp.take_along_axis(
+        boxes_cxcywh, jnp.clip(assignments, 0, q - 1)[..., None], axis=1
+    )  # [B, G, 4]
+    m = gt_valid[..., None]
+    l1 = jnp.sum(jnp.abs(pb - gt_boxes_cxcywh) * m) / n_gt
+    giou = jax.vmap(
+        lambda p_, g_: jnp.diagonal(_giou(_cxcywh_to_xyxy(p_), _cxcywh_to_xyxy(g_)))
+    )(pb, gt_boxes_cxcywh)
+    giou_loss = jnp.sum((1.0 - giou) * gt_valid) / n_gt
+    return dict(
+        ce_loss=cls_loss, l1_loss=l1_w * l1, giou_loss=giou_w * giou_loss
+    )
+
+
+def detr_assignments(logits, boxes_cxcywh, gt_boxes_cxcywh, gt_labels, gt_valid) -> np.ndarray:
+    """Host Hungarian per image -> [B, G] query indices (valid GTs first)."""
+    from skghoi_tpu.detect.adamixer import hungarian_match
+
+    logits = np.asarray(logits, np.float32)
+    boxes = np.asarray(boxes_cxcywh, np.float32)
+    out = np.zeros((logits.shape[0], np.asarray(gt_valid).shape[1]), np.int64)
+    for bi in range(logits.shape[0]):
+        cost = np.asarray(
+            detr_match_cost(
+                jnp.asarray(logits[bi]), jnp.asarray(boxes[bi]),
+                jnp.asarray(gt_boxes_cxcywh[bi]), jnp.asarray(gt_labels[bi]),
+            )
+        )
+        out[bi] = hungarian_match(cost, np.asarray(gt_valid[bi]))
+    return out

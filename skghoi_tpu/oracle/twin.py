@@ -316,7 +316,10 @@ class GraphHeadTwin(nn.Module):
                 all_boxes_o.append(torch.zeros(0, 4))
                 all_object_class.append(torch.zeros(0, dtype=torch.int64))
                 all_prior.append(torch.zeros(2, 0, self.num_cls))
-                all_labels.append(torch.zeros(0, self.num_cls))
+                if targets is not None:
+                    # mirror the normal path: labels exist only in training,
+                    # else postprocess's labels/images zip desynchronizes
+                    all_labels.append(torch.zeros(0, self.num_cls))
                 counter += n
                 continue
             if not torch.all(labels[:n_h] == self.human_idx):

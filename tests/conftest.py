@@ -42,6 +42,7 @@ _SLOW_MODULES = {
     "test_torch_converter",    # full-model weight conversion
     "test_cli_pipeline",       # chained argparse mains over a tmpdir
     "test_adamixer",           # decoder compile + oracle + overfit
+    "test_parity_degenerate",  # full-model twin parity on edge cases
 }
 _MESH_MODULES = {"test_multichip", "test_multichip_depth"}
 

@@ -311,3 +311,93 @@ def test_detr_detector_fn_end_to_end(tmp_path):
         blob = json.load(f)
     assert len(blob["boxes"]) == len(blob["labels"]) == len(blob["scores"]) > 0
     assert all(0 <= s <= 1 for s in blob["scores"])
+
+
+def test_hico_head_surgery_keep_rows():
+    """81-class surgery keeps exactly the main_detr.py:144-151 logit rows."""
+    from skghoi_tpu.detect.detr import (
+        DETR_SURGERY_KEEP,
+        HICO_TO_DETR80,
+        hico_head_surgery,
+        load_torch_detr,
+    )
+
+    rng = np.random.default_rng(5)
+    sd = synth_detr_state_dict(rng)
+    out = hico_head_surgery(sd)
+    w0 = np.asarray(sd["class_embed.weight"])
+    w1 = np.asarray(out["class_embed.weight"])
+    assert w1.shape == (81, D) and np.asarray(out["class_embed.bias"]).shape == (81,)
+    np.testing.assert_array_equal(w1, w0[DETR_SURGERY_KEEP])
+    assert out["class_embed.weight"].shape[0] == 81  # 80 classes + no-object
+
+    # conversion table: a permutation of 0..79 with person (HICO 49) -> 0
+    assert sorted(HICO_TO_DETR80) == list(range(80))
+    assert HICO_TO_DETR80[49] == 0
+
+    # converted dict loads into the 80-class model
+    variables = load_torch_detr(out)
+    assert variables["params"]["class_embed"]["kernel"].shape == (D, 81)
+    model = DETR(num_classes=80)
+    img = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
+    det = model.apply(variables, img, jnp.asarray([[64.0, 96.0]]))
+    assert ((np.asarray(det.labels) >= 0) & (np.asarray(det.labels) < 80)).all()
+
+
+def test_detr_finetune_overfits_one_box():
+    """The surgery fine-tune flow (main_detr.py:139-196): Hungarian-matched
+    CE + L1 + GIoU on one image localizes the single GT box."""
+    import optax
+
+    from skghoi_tpu.detect.detr import (
+        detr_assignments,
+        detr_set_loss,
+    )
+
+    model = DETR(num_classes=80, num_layers=2, num_queries=10)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)), jnp.float32)
+    # GT in normalized cxcywh (DETR target convention)
+    gt_boxes = jnp.asarray([[[0.4, 0.5, 0.35, 0.4]]])
+    gt_labels = jnp.asarray([[7]])
+    gt_valid = jnp.ones((1, 1), bool)
+
+    variables = dict(model.init(jax.random.PRNGKey(0), images, jnp.asarray([[64.0, 96.0]])))
+    params = variables.pop("params")
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+
+    fwd = jax.jit(
+        lambda p: model.apply({"params": p, **variables}, images, method=DETR.raw)
+    )
+
+    @jax.jit
+    def step(params, opt_state, assignments):
+        def loss_fn(p):
+            logits, boxes = model.apply({"params": p, **variables}, images, method=DETR.raw)
+            losses = detr_set_loss(logits, boxes, assignments, gt_boxes, gt_labels, gt_valid)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    first = None
+    for i in range(120):
+        logits, boxes = fwd(params)
+        assignments = jnp.asarray(
+            detr_assignments(logits, boxes, gt_boxes, gt_labels, gt_valid)
+        )
+        params, opt_state, loss = step(params, opt_state, assignments)
+        if first is None:
+            first = float(loss)
+    final = float(loss)
+    assert final < first * 0.5, (first, final)
+
+    logits, boxes = fwd(params)
+    probs = np.asarray(jax.nn.softmax(logits, -1))[0, :, :-1]
+    best = int(np.argmax(probs.max(axis=1)))
+    assert int(np.argmax(probs[best])) == 7
+    bb = np.asarray(boxes)[0, best]
+    gt = np.asarray(gt_boxes)[0, 0]
+    assert np.abs(bb - gt).max() < 0.1, (bb, gt)
