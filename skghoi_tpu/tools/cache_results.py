@@ -30,6 +30,9 @@ def build_argparser():
     p.add_argument("--model-path", default="", type=str)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-root", default=None,
+                   help="reuse/create the synthetic dataset here (lets the "
+                        "chained CLI tools share one dataset)")
     return p
 
 
@@ -51,7 +54,7 @@ def main(argv=None):
 
         from skghoi_tpu.data.synthetic import make_synthetic_hicodet, make_synthetic_vcoco
 
-        root = tempfile.mkdtemp(prefix="skghoi_cache_synth_")
+        root = args.synthetic_root or tempfile.mkdtemp(prefix="skghoi_cache_synth_")
         if args.dataset == "hicodet":
             args.partition = "test2015"
             make_synthetic_hicodet(root, args.partition, num_images=6)

@@ -68,6 +68,46 @@ def build_detr_detector_fn(variables, score_thresh: float, num_classes: int = 91
     return detector
 
 
+def build_adamixer_detector_fn(variables, score_thresh: float,
+                               num_classes: int = 80,
+                               min_size: int = C.IMAGE_MIN_SIZE,
+                               max_size: int = C.IMAGE_MAX_SIZE, canvas=None,
+                               **model_overrides):
+    """AdaMixer flavour (the reference's actual stage-1 generation pipeline,
+    ``hicodet/detections/adamixer_preprocessing.py:43-58``): run the
+    query-based decoder, keep the last stage's per-query (argmax class,
+    sigmoid score) — query detectors emit a fixed set, no NMS.  Labels are
+    HICO ids directly when the detector was trained on HICO classes (the
+    mmdet80->hico80 remap is only needed for COCO-trained checkpoints and is
+    applied by the caller via ``label_map``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from skghoi_tpu.detect.adamixer import AdaMixerDetector
+
+    model = AdaMixerDetector(num_classes=num_classes, **model_overrides)
+    run = jax.jit(lambda v, img: model.apply(v, img))
+
+    def detector(arr: np.ndarray):
+        h, w = arr.shape[:2]
+        scale = resize_scale(h, w, min_size, max_size)
+        nh, nw = resized_size(h, w, scale)
+        cv = canvas if canvas is not None else canvas_for(nh, nw)
+        nh, nw = min(nh, cv[0]), min(nw, cv[1])
+        resized = bilinear_resize(arr.astype(np.float32), nh, nw)
+        padded = np.zeros((cv[0], cv[1], 3), np.float32)
+        padded[:nh, :nw] = resized  # model normalizes internally
+        out = run(variables, np.asarray(padded)[None])
+        logits = np.asarray(out.cls_logits[-1, 0])  # last stage
+        boxes = np.asarray(out.boxes[-1, 0]) / scale
+        scores = 1.0 / (1.0 + np.exp(-logits.max(axis=1)))
+        labels = logits.argmax(axis=1)
+        keep = scores >= score_thresh
+        return boxes[keep], labels[keep], scores[keep]
+
+    return detector
+
+
 def build_detector_fn(variables, score_thresh: float, nms_thresh: float,
                       num_detections: int, min_size: int = C.IMAGE_MIN_SIZE,
                       max_size: int = C.IMAGE_MAX_SIZE, canvas=None,
@@ -133,9 +173,11 @@ def main(argv=None):
     parser.add_argument("--score-thresh", type=float, default=0.05)
     parser.add_argument("--nms-thresh", type=float, default=0.5)
     parser.add_argument("--num-detections-per-image", type=int, default=100)
-    parser.add_argument("--detector", choices=["frcnn", "detr"], default="frcnn",
-                        help="checkpoint format: torchvision Faster R-CNN or "
-                             "facebookresearch/detr DETR-R50")
+    parser.add_argument("--detector", choices=["frcnn", "detr", "adamixer"],
+                        default="frcnn",
+                        help="checkpoint format: torchvision Faster R-CNN, "
+                             "facebookresearch/detr DETR-R50, or a Flax "
+                             "msgpack of our AdaMixer detector")
     args = parser.parse_args(argv)
 
     dataset = HICODet(
@@ -147,6 +189,20 @@ def main(argv=None):
     if os.path.exists(mapping_path):
         with open(mapping_path) as f:
             coco2hico = json.load(f)
+
+    if args.detector == "adamixer":
+        from flax import serialization
+
+        with open(args.ckpt_path, "rb") as f:
+            variables = serialization.msgpack_restore(f.read())
+        detector = build_adamixer_detector_fn(variables, args.score_thresh)
+        cache_dir = os.path.join(args.cache_dir, args.partition)
+        generate_model_detections(
+            detector, dataset, cache_dir, score_thresh=args.score_thresh,
+            label_map=None,  # AdaMixer here is trained on HICO ids directly
+        )
+        print(f"Cached {len(dataset)} detection files under {cache_dir}")
+        return
 
     sd = load_checkpoint_state_dict(args.ckpt_path)
     if args.detector == "detr":

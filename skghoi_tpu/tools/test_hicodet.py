@@ -25,6 +25,9 @@ def build_argparser():
     p.add_argument("--max-batches", default=None, type=int)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-root", default=None,
+                   help="reuse/create the synthetic dataset here (lets the "
+                        "chained CLI tools share one dataset)")
     return p
 
 
@@ -47,7 +50,7 @@ def main(argv=None):
 
         from skghoi_tpu.data.synthetic import make_synthetic_hicodet
 
-        root = tempfile.mkdtemp(prefix="skghoi_eval_synth_")
+        root = args.synthetic_root or tempfile.mkdtemp(prefix="skghoi_eval_synth_")
         make_synthetic_hicodet(root, args.partition, num_images=8)
         args.data_root = root
         args.detection_dir = os.path.join(root, f"detections_{args.partition}")

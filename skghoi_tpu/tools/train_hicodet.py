@@ -55,6 +55,9 @@ def build_argparser():
     p.add_argument("--num-workers", default=4, type=int,
                    help="threaded sample-load workers (reference main.py:167)")
     p.add_argument("--synthetic", action="store_true", help="tiny generated dataset smoke run")
+    p.add_argument("--synthetic-root", default=None,
+                   help="reuse/create the synthetic dataset here (lets the "
+                        "chained CLI tools share one dataset)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
 
@@ -74,7 +77,7 @@ def main(argv=None):
 
         from skghoi_tpu.data.synthetic import make_synthetic_hicodet, make_synthetic_vcoco
 
-        root = tempfile.mkdtemp(prefix="skghoi_synth_")
+        root = args.synthetic_root or tempfile.mkdtemp(prefix="skghoi_synth_")
         if args.dataset == "hicodet":
             part = "train2015"
             make_synthetic_hicodet(root, part, num_images=8)

@@ -166,3 +166,39 @@ def test_adamixer_overfits_one_box():
     iou = inter / union
     assert iou > 0.5, (bb, gt, iou)
     assert int(np.argmax(logits[best])) == 7
+
+
+def test_adamixer_detector_fn_end_to_end(tmp_path):
+    """The stage-1 generation pipeline (adamixer_preprocessing.py:43-58
+    counterpart): detector fn -> per-image JSON cache."""
+    from skghoi_tpu.detect.generate import generate_model_detections
+    from skghoi_tpu.tools.preprocess_detections import build_adamixer_detector_fn
+
+    rng = np.random.default_rng(3)
+    model = _tiny_detector()
+    img0 = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img0)
+    detector = build_adamixer_detector_fn(
+        variables, score_thresh=0.0, min_size=48, max_size=96, canvas=(64, 96),
+        num_queries=12, num_stages=2, content_dim=64, groups=2,
+        in_points=4, out_points=8, ffn_dim=128,
+    )
+
+    class FakeDataset:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return (rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8), None)
+
+        def filename(self, i):
+            return "img.jpg"
+
+    cache = tmp_path / "cache"
+    generate_model_detections(detector, FakeDataset(), str(cache), score_thresh=0.0)
+    import json
+
+    with open(cache / "img.json") as f:
+        blob = json.load(f)
+    assert len(blob["boxes"]) == len(blob["labels"]) == len(blob["scores"]) > 0
+    assert all(0 <= s <= 1 for s in blob["scores"])
