@@ -1,55 +1,50 @@
 #!/bin/bash
-# Round-3 KGE queue: close the scoreboard gaps the round-2 verdict named.
+# Round-3 KGE queue: the ledger rows VERDICT.md asks for, sequenced by
+# priority with a hard deadline guard so the single tunneled TPU chip is
+# free before the round's driver bench runs.
 #
-#   bash scripts/run_kge_round3.sh /root/reference/OpenKE/benchmarks
+#   bash scripts/run_kge_round3.sh <deadline-epoch-seconds> [benchmarks-dir] [out.jsonl]
 #
-# Order (most-valuable-first so a tunnel wedge loses the least):
-#   1. WN18RR Trans* margin-recipe sweep (the reference ships no WN18RR
-#      Trans* scripts — published 0.512/0.507/0.508 — so the recipe search
-#      is recorded row-by-row in KGE_SWEEP.jsonl).
-#   2. RotatE FB15K237 (+adv published 0.522, no shipped script; WN18RR adv
-#      shape carried over) and RotatE WN18RR adv (shipped script
-#      train_rotate_WN18RR_adv.py, published 0.565) -> KGE_RESULTS.jsonl.
-#   3. Zoo tail: HolE/SimplE/Analogy WN18RR + RESCAL FB15K237 (shipped
-#      scripts, no published rows; bar = sane committed numbers).
+# A job only starts if its budget fits before the deadline; each job is also
+# wrapped in `timeout` as a backstop (NB a SIGTERM'd TPU process can wedge
+# the tunnel — budgets are deliberately generous so the backstop never fires
+# on a healthy run).
 set -u
-BENCH=${1:-/root/reference/OpenKE/benchmarks}
+DEADLINE=${1:?deadline as epoch seconds (date -d '...' +%s)}
+BENCH=${2:-/root/reference/OpenKE/benchmarks}
+OUT=${3:-KGE_RESULTS.jsonl}
 WN="$BENCH/WN18RR"
 FB="$BENCH/FB15K237"
 cd "$(dirname "$0")/.."
 
-run() { # run <data> <out> [flags...]
-  data="$1"; out="$2"; shift 2
-  echo "=== $(date +%H:%M:%S) $*"
-  python -u -m skghoi_tpu.tools.train_kge \
-    --data "$data" --json --json-out "$out" "$@" < /dev/null
+run() {
+  budget="$1"; data="$2"; example="$3"; shift 3
+  now=$(date +%s)
+  left=$((DEADLINE - now))
+  if [ "$left" -lt "$budget" ]; then
+    echo "=== $(date +%H:%M:%S) SKIP $example (needs ${budget}s, ${left}s left)"
+    return 0
+  fi
+  echo "=== $(date +%H:%M:%S) RUN $example (budget ${budget}s, ${left}s left)"
+  timeout "$left" python -u -m skghoi_tpu.tools.train_kge \
+    --data "$data" --example "$example" --json --json-out "$OUT" \
+    --checkpoint "checkpoints/kge_${example}.ckpt" "$@" \
+    2>&1 | tee "/tmp/kge_r3_${example}.log" | grep -E "Epoch (0|[0-9]*00) |hit|mrr|Using|Loaded|Error|error"
 }
 
-SWEEP=KGE_SWEEP.jsonl
-RES=KGE_RESULTS.jsonl
-
-# --- 1. WN18RR Trans* margin sweep (short runs; no --example so every flag
-#        below is exactly what runs).  Round-2 rows: TransE 0.461 (m6 a0.5
-#        1000ep), TransH 0.4215 (m4 a0.5), TransD 0.429 (m4 a1.0).  Axes:
-#        alpha up (the FB15K237 scripts use 0.5-1.0), margin up (WN18RR is
-#        sparse), 2000 epochs.
-MARGIN_COMMON="--loss margin --dim 200 --p-norm 1 --opt sgd --nbatches 100 --neg-ent 25 --bern --epochs 2000"
-run "$WN" "$SWEEP" --model transe $MARGIN_COMMON --margin 6 --alpha 1.0
-run "$WN" "$SWEEP" --model transe $MARGIN_COMMON --margin 8 --alpha 1.0
-run "$WN" "$SWEEP" --model transe $MARGIN_COMMON --margin 6 --alpha 2.0
-run "$WN" "$SWEEP" --model transh $MARGIN_COMMON --margin 6 --alpha 1.0
-run "$WN" "$SWEEP" --model transh $MARGIN_COMMON --margin 8 --alpha 1.0
-run "$WN" "$SWEEP" --model transd $MARGIN_COMMON --margin 6 --alpha 1.0
-run "$WN" "$SWEEP" --model transd $MARGIN_COMMON --margin 8 --alpha 2.0
-
-# --- 2. RotatE (the flagship adversarial rows) ---------------------------
-run "$FB" "$RES" --example rotate_fb15k237 --checkpoint checkpoints/kge_rotate_fb15k237.ckpt
-run "$WN" "$RES" --example rotate_wn18rr_adv --checkpoint checkpoints/kge_rotate_wn18rr_adv.ckpt
-
-# --- 3. Zoo tail ---------------------------------------------------------
-run "$WN" "$RES" --example hole_wn18rr --checkpoint checkpoints/kge_hole_wn18rr.ckpt
-run "$WN" "$RES" --example simple_wn18rr --checkpoint checkpoints/kge_simple_wn18rr.ckpt
-run "$WN" "$RES" --example analogy_wn18rr --checkpoint checkpoints/kge_analogy_wn18rr.ckpt
-run "$FB" "$RES" --example rescal_fb15k237 --checkpoint checkpoints/kge_rescal_fb15k237.ckpt
-
-echo "=== $(date +%H:%M:%S) queue drained"
+# 1. RotatE WN18RR adv — the flagship self-adversarial row (published 0.565,
+#    README.md:98; shipped recipe trains 6000 epochs ~= 3.1h on this chip,
+#    which no longer fits the round: cap at 2000 and record the CLI).
+run 5200 "$WN" rotate_wn18rr_adv --epochs 2000 --eval-chunk 4
+# 2-3. Zoo tail with in-tree recipes, full epoch counts.
+run 2200 "$WN" hole_wn18rr
+run 2800 "$FB" rescal_fb15k237
+# 4-5. SimplE/Analogy WN18RR: recipe is 2000 epochs; run 1000 to fit the
+#      round (the bar here is a sane committed row, no published number).
+run 2200 "$WN" simple_wn18rr --epochs 1000
+run 2200 "$WN" analogy_wn18rr --epochs 1000
+# 6. If time remains: TransH WN18RR with the adv temperature=2 variant
+#    (documented search for the 0.507 row; T=1/3000 epochs measured 0.456).
+#    (documented search; the row's "cli" field records the override).
+run 5200 "$WN" transh_wn18rr --adv-temperature 2.0
+echo "=== $(date +%H:%M:%S) queue done"

@@ -25,12 +25,17 @@ Array = jax.Array
 
 
 class DetectorBackbone(nn.Module):
-    """backbone -> neck, returning the 4-level pyramid (strides 4,8,16,32)."""
+    """backbone -> neck, returning the 4-level pyramid (strides 4,8,16,32).
+
+    ``frozen_stages`` passes through to :class:`ResNet50` (mmdet semantics;
+    the reference's mmdet-built R50 trains with ``frozen_stages=1``).
+    """
 
     dtype: Any = jnp.float32
+    frozen_stages: int = -1
 
     def setup(self):
-        self.backbone = ResNet50(dtype=self.dtype)
+        self.backbone = ResNet50(dtype=self.dtype, frozen_stages=self.frozen_stages)
         self.neck = FPN(dtype=self.dtype)
 
     def __call__(self, images: Array) -> Tuple[Array, ...]:

@@ -134,11 +134,23 @@ class StemConv(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns the C2..C5 feature pyramid (strides 4, 8, 16, 32)."""
+    """Returns the C2..C5 feature pyramid (strides 4, 8, 16, 32).
+
+    ``frozen_stages`` follows mmdet's ResNet semantics (the reference builds
+    its backbone from an mmdet config, ``models/adamixer_transH_spatial_r50_models.py:147-156``;
+    the public AdaMixer R50 configs all train with ``frozen_stages=1``):
+    -1 trains everything, 0 freezes the stem, 1 freezes stem + layer1, etc.
+    Freezing is a ``stop_gradient`` at the stage boundary — the frozen
+    prefix's backward pass is eliminated from the compiled program entirely,
+    which matters: at 832x1344 the stem+layer1 backward is ~1/3 of the whole
+    train step.  Pair it with the optimizer's "frozen" label
+    (``train/optimizer.py``) so AdamW never touches the frozen parameters.
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     stem_space_to_depth: bool = True
+    frozen_stages: int = -1
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -148,6 +160,8 @@ class ResNet50(nn.Module):
         x = FrozenBatchNorm(dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         outputs = []
         widths = (64, 128, 256, 512)
@@ -156,5 +170,7 @@ class ResNet50(nn.Module):
                 strides = 2 if (block == 0 and stage > 0) else 1
                 x = Bottleneck(width, strides=strides, dtype=self.dtype,
                                name=f"layer{stage + 1}_block{block}")(x)
+            if self.frozen_stages >= stage + 1:
+                x = jax.lax.stop_gradient(x)
             outputs.append(x)
         return tuple(outputs)

@@ -46,9 +46,14 @@ class SpatiallyConditionedGraph(nn.Module):
     feedback: bool = False
     quirk_box_index_tails: bool = False
     dtype: Any = jnp.float32
+    # mmdet ResNet frozen_stages; the reference's mmdet-built backbone trains
+    # with stem+layer1 frozen (public AdaMixer R50 configs, and mmdet's
+    # detection default).  Freezing also removes ~1/3 of the train step: the
+    # stem+layer1 backward at 832x1344 is the profile's top hotspot.
+    frozen_stages: int = 1
 
     def setup(self):
-        self.detector = DetectorBackbone(dtype=self.dtype)
+        self.detector = DetectorBackbone(dtype=self.dtype, frozen_stages=self.frozen_stages)
         self.interaction_head = InteractionHead(
             num_cls=self.num_classes,
             human_idx=self.human_idx,

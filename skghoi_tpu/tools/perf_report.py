@@ -104,7 +104,16 @@ def report(batch_size: int = 8, canvas=(832, 1344), include_train: bool = True,
         cost_t = compiled_t.cost_analysis()
         cost_t = cost_t[0] if isinstance(cost_t, list) else cost_t
         train_flops = float(cost_t.get("flops", 0.0))
-        t_train = _timed(compiled_t, (params, extra, opt_state, train_batch, rng), iters=5)
+        # The step donates params/opt_state, so thread the returned state
+        # through the timing loop instead of replaying stale buffers.
+        params, opt_state, _, losses, _ = compiled_t(params, extra, opt_state, train_batch, rng)
+        jax.block_until_ready(losses)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, _, losses, _ = compiled_t(params, extra, opt_state, train_batch, rng)
+        jax.block_until_ready(losses)
+        t_train = (time.perf_counter() - t0) / iters
         out["train"] = {
             "seconds_per_step": t_train,
             "images_per_sec": batch_size / t_train,

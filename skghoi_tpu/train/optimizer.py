@@ -20,16 +20,29 @@ from skghoi_tpu import constants as C
 _FROZEN_BN = {"stem_bn", "bn1", "bn2", "bn3", "downsample_bn"}
 
 
-def _label_params(params) -> dict:
+def _label_params(params, frozen_stages: int = 1) -> dict:
     """'detector' for backbone/neck parameters, 'head' for the rest; 'frozen'
     for FrozenBatchNorm scale/bias — torch FrozenBatchNorm2d affine terms are
     buffers (never in ``named_parameters``), so the reference's optimizer
     never sees them (``main.py:113``); training them here would both drift
-    from the reference and waste gradient compute."""
+    from the reference and waste gradient compute.
+
+    ``frozen_stages`` mirrors the model knob (mmdet semantics, see
+    ``models/resnet.py::ResNet50``): the reference's mmdet-built backbone sets
+    the frozen prefix's parameters ``requires_grad=False``, so they never
+    reach the optimizer (``main.py:113`` filters on ``requires_grad``).  The
+    model's ``stop_gradient`` makes their grads zero; this label keeps AdamW's
+    weight decay from shrinking them anyway."""
+
+    frozen_prefixes = {"stem_conv", "stem_bn"} if frozen_stages >= 0 else set()
+    for i in range(1, frozen_stages + 1):
+        frozen_prefixes.add(f"layer{i}")
 
     def label(path, _):
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
         if any(k in _FROZEN_BN for k in keys):
+            return "frozen"
+        if any(k.split("_block")[0] in frozen_prefixes for k in keys):
             return "frozen"
         return "detector" if "detector" in keys else "head"
 
@@ -44,6 +57,7 @@ def build_optimizer(
     steps_per_epoch: int = 1,
     milestones: Sequence[int] = (C.LR_MILESTONE_EPOCH,),
     milestone_gamma: float = C.LR_MILESTONE_GAMMA,
+    frozen_stages: int = 1,
 ) -> optax.GradientTransformation:
     boundaries = {m * steps_per_epoch: milestone_gamma for m in milestones}
     schedule = optax.piecewise_constant_schedule(learning_rate, boundaries)
@@ -51,7 +65,7 @@ def build_optimizer(
     def group(scale: float) -> optax.GradientTransformation:
         return optax.adamw(lambda step: schedule(step) * scale, weight_decay=weight_decay)
 
-    labels = _label_params(params)
+    labels = _label_params(params, frozen_stages=frozen_stages)
     return optax.multi_transform(
         {"detector": group(lr_decay), "head": group(1.0), "frozen": optax.set_to_zero()},
         labels,

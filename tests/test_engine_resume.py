@@ -57,20 +57,23 @@ def test_resume_roundtrip(setup, tmp_path):
     assert engine2.epoch == 2
 
 
-def test_frozen_bn_params_never_update():
+def test_frozen_params_never_update():
     """torch FrozenBatchNorm2d affine terms are buffers: the reference's
-    optimizer never touches them (main.py:113). Our multi_transform must
-    pin them with set_to_zero."""
+    optimizer never touches them (main.py:113).  The mmdet-built backbone
+    additionally trains with frozen_stages=1 (stem + layer1 requires_grad
+    False, so never registered with the optimizer).  Our multi_transform must
+    pin both groups with set_to_zero."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from skghoi_tpu.train.optimizer import build_optimizer
 
     params = {
         "detector": {"stem_bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
-                     "stem_conv": {"kernel": jnp.ones((3, 3, 3, 4))}},
+                     "stem_conv": {"kernel": jnp.ones((3, 3, 3, 4))},
+                     "layer1_block0": {"conv1": {"kernel": jnp.ones((1, 1, 4, 4))}},
+                     "layer2_block0": {"conv1": {"kernel": jnp.ones((1, 1, 4, 4))}}},
         "head": {"fc": {"kernel": jnp.ones((4, 4))}},
     }
     tx = build_optimizer(params, learning_rate=0.1)
@@ -79,5 +82,17 @@ def test_frozen_bn_params_never_update():
     updates, _ = tx.update(grads, state, params)
     np.testing.assert_array_equal(np.asarray(updates["detector"]["stem_bn"]["scale"]), 0.0)
     np.testing.assert_array_equal(np.asarray(updates["detector"]["stem_bn"]["bias"]), 0.0)
-    assert float(jnp.abs(updates["detector"]["stem_conv"]["kernel"]).max()) > 0
+    # frozen_stages=1 (default, mmdet semantics): stem conv + layer1 pinned
+    np.testing.assert_array_equal(
+        np.asarray(updates["detector"]["stem_conv"]["kernel"]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(updates["detector"]["layer1_block0"]["conv1"]["kernel"]), 0.0)
+    # layer2 onwards fine-tunes (at lr * lr_decay), and the head at full lr
+    assert float(jnp.abs(updates["detector"]["layer2_block0"]["conv1"]["kernel"]).max()) > 0
     assert float(jnp.abs(updates["head"]["fc"]["kernel"]).max()) > 0
+
+    # frozen_stages=-1 trains everything except FrozenBN affine terms
+    tx_all = build_optimizer(params, learning_rate=0.1, frozen_stages=-1)
+    upd_all, _ = tx_all.update(grads, tx_all.init(params), params)
+    assert float(jnp.abs(upd_all["detector"]["stem_conv"]["kernel"]).max()) > 0
+    assert float(jnp.abs(upd_all["detector"]["layer1_block0"]["conv1"]["kernel"]).max()) > 0

@@ -46,7 +46,11 @@ def test_sharded_train_step_runs_and_matches_single_device():
     params = variables.pop("params")
     tx = build_optimizer(params, steps_per_epoch=10)
     opt_state = tx.init(params)
-    step = build_train_step(model, tx, ovm)
+    # donate=False: this A/B calls the step twice with pytrees that may
+    # alias (replicate() can reuse the source buffer for one shard), so the
+    # production donation would invalidate the reference inputs.  The
+    # donating path is covered by test_nan_guard / test_training_learns.
+    step = build_train_step(model, tx, ovm, donate=False)
 
     # Single-device reference.
     _, _, total_ref, losses_ref, _ = step(

@@ -70,7 +70,14 @@ def _setup(seed=0):
 @needs_mesh
 def test_multistep_sharded_trajectory_matches_single_device():
     model, tx, ovm, params, variables, opt_state, batches = _setup()
-    step = build_train_step(model, tx, ovm)
+    # donate=False: the single-device and sharded trajectories start from the
+    # same pytrees, which replicate() may alias — see test_multichip.py.
+    step = build_train_step(model, tx, ovm, donate=False)
+
+    mesh = make_mesh()
+    p_sh = replicate(params, mesh)
+    v_sh = replicate(variables, mesh)
+    o_sh = replicate(opt_state, mesh)
 
     # Single-device trajectory.
     p_ref, o_ref = params, opt_state
@@ -80,10 +87,6 @@ def test_multistep_sharded_trajectory_matches_single_device():
         totals_ref.append(float(total))
 
     # Sharded trajectory: same batches, same rngs, params stay replicated.
-    mesh = make_mesh()
-    p_sh = replicate(params, mesh)
-    v_sh = replicate(variables, mesh)
-    o_sh = replicate(opt_state, mesh)
     totals_sh = []
     for i, b in enumerate(batches):
         p_sh, o_sh, total, _, _ = step(p_sh, v_sh, o_sh, shard_batch(b, mesh), jax.random.PRNGKey(10 + i))
@@ -107,7 +110,9 @@ def test_multistep_sharded_trajectory_matches_single_device():
 @needs_mesh
 def test_checkpoint_roundtrip_under_sharding(tmp_path):
     model, tx, ovm, params, variables, opt_state, batches = _setup(seed=1)
-    step = build_train_step(model, tx, ovm)
+    # donate=False: params/opt_state are replicated twice from the same
+    # source pytrees (aliasing — see test_multichip.py).
+    step = build_train_step(model, tx, ovm, donate=False)
     mesh = make_mesh()
     v_sh = replicate(variables, mesh)
 

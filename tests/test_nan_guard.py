@@ -43,27 +43,31 @@ def _setup():
 
 def test_finite_batch_updates_params():
     params, opt_state, step = _setup()
+    # The step donates params/opt_state, so snapshot to host before calling.
+    w_before = np.asarray(params["w"]).copy()
     new_params, _, total, losses, _ = step(
         params, {}, opt_state, jnp.asarray([1.0, 2.0, 3.0]), jnp.zeros((2,), jnp.uint32)
     )
     assert np.isfinite(float(total))
-    assert not np.allclose(np.asarray(new_params["w"]), np.asarray(params["w"]))
+    assert not np.allclose(np.asarray(new_params["w"]), w_before)
 
 
 def test_nan_batch_leaves_params_and_opt_state_untouched():
+    import jax
+
     params, opt_state, step = _setup()
+    # The step donates params/opt_state, so snapshot to host before calling.
+    w_before = np.asarray(params["w"]).copy()
+    old_leaves = [np.asarray(l).copy() for l in jax.tree_util.tree_leaves(opt_state)]
     nan_batch = jnp.asarray([1.0, jnp.nan, 3.0])
     new_params, new_opt, total, losses, _ = step(
         params, {}, opt_state, nan_batch, jnp.zeros((2,), jnp.uint32)
     )
     # host still sees the NaN, so the engine's ValueError fires as before
     assert np.isnan(float(losses["hoi_loss"]))
-    np.testing.assert_array_equal(np.asarray(new_params["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(new_params["w"]), w_before)
     # momentum/accumulator state must also be pristine
-    import jax
-
-    old_leaves = jax.tree_util.tree_leaves(opt_state)
     new_leaves = jax.tree_util.tree_leaves(new_opt)
     assert len(old_leaves) == len(new_leaves) and len(new_leaves) > 0
     for a, b in zip(new_leaves, old_leaves):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), b)
