@@ -34,8 +34,18 @@ run() {
 
 # 1. RotatE WN18RR adv — the flagship self-adversarial row (published 0.565,
 #    README.md:98; shipped recipe trains 6000 epochs ~= 3.1h on this chip,
-#    which no longer fits the round: cap at 2000 and record the CLI).
-run 5200 "$WN" rotate_wn18rr_adv --epochs 2000 --eval-chunk 4
+#    which no longer fits the round). Size the epoch count to the time that
+#    is actually left (measured 1.9 s/epoch + ~900 s eval margin), cap 2000,
+#    floor 400 — a short documented row beats no row; the "cli" field records
+#    the epoch count actually run.
+ROT_LEFT=$(( DEADLINE - $(date +%s) ))
+ROT_EPOCHS=$(( (ROT_LEFT - 900) * 10 / 19 ))
+[ "$ROT_EPOCHS" -gt 2000 ] && ROT_EPOCHS=2000
+if [ "$ROT_EPOCHS" -ge 400 ]; then
+  run $(( ROT_EPOCHS * 19 / 10 + 900 )) "$WN" rotate_wn18rr_adv --epochs "$ROT_EPOCHS" --eval-chunk 4
+else
+  echo "=== $(date +%H:%M:%S) SKIP rotate_wn18rr_adv (only ${ROT_EPOCHS} epochs fit)"
+fi
 # 2-3. Zoo tail with in-tree recipes, full epoch counts.
 run 2200 "$WN" hole_wn18rr
 run 2800 "$FB" rescal_fb15k237
