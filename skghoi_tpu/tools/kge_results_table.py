@@ -26,16 +26,25 @@ PUBLISHED = {
 
 
 def main(argv=None):
-    path = (argv or sys.argv[1:] or ["KGE_RESULTS.jsonl"])[0]
+    paths = argv or sys.argv[1:]
+    if not paths:
+        # The CPU hedge ledger (rows trained with jax_platforms=cpu when the
+        # chip was unavailable) loads FIRST so a real-chip rerun of the same
+        # example supersedes it; its rows are marked in the table.
+        paths = [p for p in ("KGE_RESULTS_CPU.jsonl", "KGE_RESULTS.jsonl")
+                 if os.path.exists(p)]
     rows = {}
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            rec = json.loads(line)
-            bench = os.path.basename(rec["data"].rstrip("/"))
-            rows[(rec.get("example") or rec["model"], bench)] = rec
+    for path in paths:
+        cpu = path.endswith("_CPU.jsonl")
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                rec["_cpu"] = cpu
+                bench = os.path.basename(rec["data"].rstrip("/"))
+                rows[(rec.get("example") or rec["model"], bench)] = rec
 
     print("| Example | Benchmark | Hits@10 | Published | Delta | MRR | steps/s |")
     print("|---|---|---|---|---|---|---|")
@@ -43,8 +52,9 @@ def main(argv=None):
         pub = PUBLISHED.get((rec["model"], bench))
         delta = f"{rec['hit10'] - pub:+.3f}" if pub is not None else "-"
         pub_s = f"{pub:.3f}" if pub is not None else "-"
+        tag = " (cpu hedge)" if rec.get("_cpu") else ""
         print(
-            f"| {example} | {bench} | **{rec['hit10']:.3f}** | {pub_s} | {delta} "
+            f"| {example}{tag} | {bench} | **{rec['hit10']:.3f}** | {pub_s} | {delta} "
             f"| {rec['mrr']:.3f} | {rec['steps_per_second']:.0f} |"
         )
 
