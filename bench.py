@@ -119,6 +119,23 @@ def main():
     import os
     import sys
 
+    # Fail fast if the tunneled chip is unreachable.  This must happen
+    # BEFORE the first jax import/backend touch: with the relay port down,
+    # axon's PJRT init blocks indefinitely (measured), so a dead tunnel
+    # would otherwise read as a silent hang rather than a clear error.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon" and "--allow-cpu" not in sys.argv:
+        import socket
+
+        host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+        port = int(os.environ.get("SKGHOI_AXON_RELAY_PORT", "8103"))
+        try:
+            socket.create_connection((host, port), timeout=5).close()
+        except OSError as e:
+            print(f"bench.py: TPU relay {host}:{port} unreachable ({e}) — "
+                  "refusing to start (backend init would hang); pass "
+                  "--allow-cpu to bench on host CPU instead", file=sys.stderr)
+            sys.exit(2)
+
     if "--train" in sys.argv:
         images_per_sec = measure_train()
         print(
