@@ -157,11 +157,22 @@ def main():
     stats = measure(batch_size=batch_size)
     images_per_sec = stats["median"]
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_TORCH.json")
+    baseline = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            baseline = float(json.load(f)["value"])  # measured torch-CPU twin
-    else:
-        baseline = 27.8  # DETR-R50 0.036 s/img (detections/README.md:18)
+            b = json.load(f)
+        # The torch-CPU twin ratio is only comparable at the geometry the
+        # baseline was measured at (canvas 832x1344, scoreboard batch 8);
+        # SKGHOI_BENCH_BATCH must not silently inflate the ratio against a
+        # baseline measured elsewhere.
+        if list(b.get("canvas", [])) == [832, 1344] and batch_size == b.get("batch", 8):
+            baseline = float(b["value"])  # measured torch-CPU twin
+    # The defensible cross-hardware yardstick: the reference's closest
+    # published GPU figure, DETR-R50 stage 1 alone at 27.8 img/s
+    # (hicodet/detections/README.md:18).  Emitted alongside so driver
+    # artifacts record the meaningful comparison, not just the 1000x
+    # single-thread-CPU optic.
+    DETR_R50_GPU = 27.8
     print(
         json.dumps(
             {
@@ -169,7 +180,8 @@ def main():
                 "value": round(images_per_sec, 2),
                 "unit": f"img/s (832x1344, bf16, batch {batch_size}, single chip; "
                         "median of 3 chained runs)",
-                "vs_baseline": round(images_per_sec / baseline, 3),
+                "vs_baseline": round(images_per_sec / baseline, 3) if baseline else None,
+                "vs_detr_r50_gpu": round(images_per_sec / DETR_R50_GPU, 3),
                 "spread": {"min": round(stats["min"], 2), "max": round(stats["max"], 2)},
                 "config": {"batch": batch_size, "canvas": [832, 1344],
                            "tall_frac": tall_frac},

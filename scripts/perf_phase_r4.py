@@ -1,0 +1,126 @@
+"""Round-4 TPU perf phase, most-important-first so a timeout loses the least.
+
+Order (VERDICT round-3 "Next round" #1): the post-freeze measurements that
+round 3 could not capture because the tunnel was down:
+
+  1. bench inference at the scoreboard geometry (bs8, 832x1344, bf16)
+  2. bench training bs8 (first measured number for frozen_stages=1)
+  3. perf_report at bs8 (honest MFU for both paths)
+  4. train bs16 + inference bs16/32 batch sweep
+  5. stem conv-vs-im2col A/B (same-session serialized, the only honest way
+     per the tunnel-drift rule)
+
+Results go to stdout and /tmp/r4_perf.json so they can be committed into
+PERF.md the moment they exist.  Self-limits wall time between sections
+(never SIGTERM a live TPU process: it can wedge the tunnel).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+_T0 = time.time()
+_BUDGET = 3300  # shell backstop is 3600; keep it a never-fires backstop
+RESULTS = {}
+
+
+def over_budget(section):
+    left = _BUDGET - (time.time() - _T0)
+    if left < 0:
+        print(f"PERF_PHASE: skipping {section} (budget exhausted)", flush=True)
+        return True
+    print(f"PERF_PHASE: {section} ({left:.0f}s left)", flush=True)
+    return False
+
+
+def flush_results():
+    with open("/tmp/r4_perf.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+import bench
+
+# 1+2: the scoreboard numbers first.
+for kind, bs in (("infer", 8), ("train", 8)):
+    if over_budget(f"{kind} bs{bs}"):
+        break
+    try:
+        if kind == "infer":
+            v = bench.measure(batch_size=bs)
+            RESULTS[f"infer_bs{bs}"] = v
+            print(f"BENCH_INFER bs={bs}: median {v['median']:.2f} img/s "
+                  f"(min {v['min']:.2f} max {v['max']:.2f})", flush=True)
+        else:
+            t = bench.measure_train(batch_size=bs)
+            RESULTS[f"train_bs{bs}"] = t
+            print(f"BENCH_TRAIN bs={bs}: {t:.2f} img/s", flush=True)
+    except Exception as e:
+        print(f"BENCH {kind} bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 3: MFU for both paths.
+if not over_budget("perf_report bs8"):
+    try:
+        from skghoi_tpu.tools import perf_report
+
+        rep = perf_report.report(batch_size=8)
+        RESULTS["perf_report_bs8"] = rep
+        print("PERF_REPORT:", json.dumps(rep), flush=True)
+    except Exception as e:
+        print(f"PERF_REPORT FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 4: batch sweep.
+for bs in (16,):
+    if over_budget(f"train bs{bs}"):
+        break
+    try:
+        t = bench.measure_train(batch_size=bs)
+        RESULTS[f"train_bs{bs}"] = t
+        print(f"BENCH_TRAIN bs={bs}: {t:.2f} img/s", flush=True)
+    except Exception as e:
+        print(f"BENCH_TRAIN bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+for bs in (16, 32):
+    if over_budget(f"infer bs{bs}"):
+        break
+    try:
+        v = bench.measure(batch_size=bs)
+        RESULTS[f"infer_bs{bs}"] = v
+        print(f"BENCH_INFER bs={bs}: median {v['median']:.2f} img/s "
+              f"(min {v['min']:.2f} max {v['max']:.2f})", flush=True)
+    except Exception as e:
+        print(f"BENCH_INFER bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 5: stem impl A/B (equivalence proven in tests/test_stem_s2d.py).
+if not over_budget("stem A/B"):
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from skghoi_tpu.models.resnet import StemConv
+        from skghoi_tpu.tools.stage_profile import _chain_time
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 832, 1344, 3)), jnp.bfloat16)
+        for impl in ("conv", "im2col"):
+            stem = StemConv(dtype=jnp.bfloat16, impl=impl)
+            variables = jax.jit(stem.init)(jax.random.PRNGKey(0), x)
+
+            def step(carry, xx, v=variables, s=stem):
+                y = s.apply(v, xx + carry.astype(xx.dtype) * 1e-20)
+                return jnp.sum(y).astype(jnp.float32)
+
+            t = _chain_time(step, jnp.asarray(0.0, jnp.float32), 10, consts=(x,))
+            RESULTS[f"stem_{impl}_ms"] = t * 1e3
+            print(f"STEM_AB impl={impl}: {t * 1e3:.3f} ms fwd "
+                  f"(bs8 832x1344 bf16)", flush=True)
+    except Exception as e:
+        print(f"STEM_AB FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+print(f"PERF_PHASE: done in {time.time() - _T0:.0f}s", flush=True)

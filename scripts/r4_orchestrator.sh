@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-4 chip orchestrator: wait for the axon tunnel, run the perf phase
+# (the round's #1 deliverable per VERDICT r3), then hand the chip to the
+# deadline-guarded KGE queue.  Never SIGTERM a live TPU process by pattern;
+# the queue's own budget guard is the stop mechanism.
+set -u
+DEADLINE=${1:-1787056800}   # default 12:40 UTC Aug 18 — ~35 min before round end
+cd /root/repo
+
+echo "$(date -u +%H:%M:%S) waiting for tunnel (port 8103)..."
+while true; do
+  now=$(date +%s)
+  if [ "$now" -ge "$DEADLINE" ]; then
+    echo "$(date -u +%H:%M:%S) deadline hit while waiting; giving up"
+    exit 1
+  fi
+  if curl -s -m 3 -o /dev/null http://127.0.0.1:8103/; then
+    echo "$(date -u +%H:%M:%S) port up; probing jax.devices()"
+    if timeout 300 python -c "import jax; ds = jax.devices(); assert ds, 'no devices'; print(ds)" >/tmp/r4_probe.log 2>&1; then
+      echo "$(date -u +%H:%M:%S) TPU reachable"
+      break
+    fi
+    echo "$(date -u +%H:%M:%S) port up but devices() failed; retrying"
+  fi
+  sleep 60
+done
+
+echo "$(date -u +%H:%M:%S) === perf phase ==="
+timeout 3600 python -u scripts/perf_phase_r4.py 2>&1 | grep -v WARNING | tee /tmp/r4_perf_phase.log
+echo "$(date -u +%H:%M:%S) perf phase exit=$?"
+
+echo "$(date -u +%H:%M:%S) === KGE queue (deadline $DEADLINE) ==="
+bash scripts/run_kge_round4.sh "$DEADLINE" 2>&1 | tee /tmp/r4_kge_queue.log
+echo "$(date -u +%H:%M:%S) orchestrator done"
