@@ -174,11 +174,24 @@ class AdaptiveMixing(nn.Module):
     def __call__(self, query: Array, values: Array) -> Array:
         b, n, g, p_in, cg = values.shape
         assert g == self.groups and p_in == self.in_points
-        # Mixing weights are query-specific (zero-init: stage starts as
-        # identity-ish refinement, the SparseRCNN/AdaMixer convention).
+        # Mixing weights are query-specific.  The generator *kernel* is
+        # zero-init (stage starts as identity-ish refinement, the
+        # SparseRCNN/AdaMixer convention) but the *bias* must be nonzero:
+        # with both at zero the mixing matrices are identically zero and
+        # relu(LayerNorm(0)) = 0 kills every gradient through the block
+        # forever.  The official AdaMixer keeps torch Linear's default bias
+        # (uniform ±1/sqrt(fan_in)); replicate that here (flax Dense's
+        # default bias_init is zeros, unlike torch).
+        bound = 1.0 / float(np.sqrt(query.shape[-1]))
+
+        def _torch_bias(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
         m_c = nn.Dense(g * cg * cg, kernel_init=nn.initializers.zeros,
+                       bias_init=_torch_bias,
                        dtype=self.dtype, name="channel_mixer")(query)
         m_s = nn.Dense(g * self.out_points * p_in, kernel_init=nn.initializers.zeros,
+                       bias_init=_torch_bias,
                        dtype=self.dtype, name="spatial_mixer")(query)
         m_c = m_c.reshape(b, n, g, cg, cg)
         m_s = m_s.reshape(b, n, g, self.out_points, p_in)
@@ -419,11 +432,11 @@ def hungarian_match(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
     """Host-side matching.  Returns per-GT query index (-1 for invalid GTs)."""
     from scipy.optimize import linear_sum_assignment
 
-    g = int(gt_valid.sum())
+    idx = np.flatnonzero(gt_valid)  # no contiguous-prefix assumption
     out = np.full(cost.shape[1], -1, np.int64)
-    if g:
-        rows, cols = linear_sum_assignment(cost[:, :g])
-        out[cols] = rows
+    if idx.size:
+        rows, cols = linear_sum_assignment(cost[:, idx])
+        out[idx[cols]] = rows
     return out
 
 
@@ -447,12 +460,16 @@ def set_loss(
     n_gt = jnp.maximum(jnp.sum(gt_valid), 1.0)
 
     def stage_loss(logits, boxes, assign):
+        # A valid GT can stay unmatched (assign == -1) when valid GTs exceed
+        # num_queries; its box loss must not be computed against an
+        # arbitrary query, so every per-GT term is gated on `matched`.
+        matched = jnp.logical_and(gt_valid > 0, assign >= 0)
         # Build per-query class targets from the assignment.
-        q_idx = jnp.where(gt_valid, assign, n)  # invalid -> out-of-range
+        q_idx = jnp.where(matched, assign, n)  # unmatched -> out-of-range
         cls_t = jnp.zeros((b, n + 1, k))
         cls_t = cls_t.at[
             jnp.arange(b)[:, None], q_idx, gt_labels
-        ].max(jnp.where(gt_valid, 1.0, 0.0))
+        ].max(jnp.where(matched, 1.0, 0.0))
         cls_t = cls_t[:, :n]
         cls_loss = binary_focal_loss_with_logits(
             logits, cls_t, alpha=0.25, gamma=2.0, reduction="sum"
@@ -461,10 +478,10 @@ def set_loss(
         pb = jnp.take_along_axis(
             boxes, jnp.clip(assign, 0, n - 1)[..., None], axis=1
         )  # [B, G, 4]
-        m = gt_valid[..., None]
+        m = matched[..., None]
         l1 = jnp.sum(jnp.abs(pb / scale - gt_boxes / scale) * m) / n_gt
         giou = jax.vmap(lambda p_, g_: jnp.diagonal(_giou(p_, g_)))(pb, gt_boxes)
-        giou_loss = jnp.sum((1.0 - giou) * gt_valid) / n_gt
+        giou_loss = jnp.sum((1.0 - giou) * matched) / n_gt
         return cls_w * cls_loss + l1_w * l1 + giou_w * giou_loss
 
     total = 0.0

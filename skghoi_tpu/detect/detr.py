@@ -346,12 +346,16 @@ def detr_set_loss(
     no_object = c1 - 1
     n_gt = jnp.maximum(jnp.sum(gt_valid), 1.0)
 
+    # A valid GT can stay unmatched (assignment == -1) when valid GTs exceed
+    # the query count; gate every per-GT term on `matched` so its box loss
+    # is not computed against an arbitrary query.
+    matched = jnp.logical_and(gt_valid > 0, assignments >= 0)
     # Per-query class target: default no-object, matched queries get the GT
-    # label (scatter per image; invalid GTs scatter out of range -> dropped).
-    q_idx = jnp.where(gt_valid, assignments, q)
+    # label (scatter per image; unmatched GTs scatter out of range -> dropped).
+    q_idx = jnp.where(matched, assignments, q)
     target = jnp.full((b, q + 1), no_object)
     target = target.at[jnp.arange(b)[:, None], q_idx].set(
-        jnp.where(gt_valid, gt_labels, no_object), mode="drop"
+        jnp.where(matched, gt_labels, no_object), mode="drop"
     )[:, :q]
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
@@ -361,12 +365,12 @@ def detr_set_loss(
     pb = jnp.take_along_axis(
         boxes_cxcywh, jnp.clip(assignments, 0, q - 1)[..., None], axis=1
     )  # [B, G, 4]
-    m = gt_valid[..., None]
+    m = matched[..., None]
     l1 = jnp.sum(jnp.abs(pb - gt_boxes_cxcywh) * m) / n_gt
     giou = jax.vmap(
         lambda p_, g_: jnp.diagonal(_giou(_cxcywh_to_xyxy(p_), _cxcywh_to_xyxy(g_)))
     )(pb, gt_boxes_cxcywh)
-    giou_loss = jnp.sum((1.0 - giou) * gt_valid) / n_gt
+    giou_loss = jnp.sum((1.0 - giou) * matched) / n_gt
     return dict(
         ce_loss=cls_loss, l1_loss=l1_w * l1, giou_loss=giou_w * giou_loss
     )
