@@ -29,6 +29,17 @@ echo "$(date -u +%H:%M:%S) === perf phase ==="
 timeout 3600 python -u scripts/perf_phase_r4.py 2>&1 | grep -v WARNING | tee /tmp/r4_perf_phase.log
 echo "$(date -u +%H:%M:%S) perf phase exit=$?"
 
+left=$(( DEADLINE - $(date +%s) ))
+if [ "$left" -gt 10800 ]; then
+  echo "$(date -u +%H:%M:%S) === input-pipeline bench (loader + train e2e) ==="
+  timeout 2400 python -u -m skghoi_tpu.tools.bench_io \
+    --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --train \
+    2>&1 | grep -v WARNING | tee /tmp/r4_bench_io.log
+  echo "$(date -u +%H:%M:%S) bench_io exit=$?"
+else
+  echo "$(date -u +%H:%M:%S) skipping bench_io (${left}s left < 3h); KGE queue first"
+fi
+
 echo "$(date -u +%H:%M:%S) === KGE queue (deadline $DEADLINE) ==="
 bash scripts/run_kge_round4.sh "$DEADLINE" 2>&1 | tee /tmp/r4_kge_queue.log
 echo "$(date -u +%H:%M:%S) orchestrator done"

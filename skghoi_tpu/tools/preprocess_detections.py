@@ -178,7 +178,14 @@ def main(argv=None):
                         help="checkpoint format: torchvision Faster R-CNN, "
                              "facebookresearch/detr DETR-R50, or a Flax "
                              "msgpack of our AdaMixer detector")
+    parser.add_argument("--min-size", type=int, default=C.IMAGE_MIN_SIZE,
+                        help="resize envelope (tests use small values)")
+    parser.add_argument("--max-size", type=int, default=C.IMAGE_MAX_SIZE)
+    parser.add_argument("--canvas", type=int, nargs=2, default=None,
+                        help="fixed H W canvas override (must be /32)")
     args = parser.parse_args(argv)
+    if args.canvas is not None:
+        args.canvas = tuple(args.canvas)
 
     dataset = HICODet(
         root=os.path.join(args.data_root, f"hico_20160224_det/images/{args.partition}"),
@@ -194,8 +201,23 @@ def main(argv=None):
         from flax import serialization
 
         with open(args.ckpt_path, "rb") as f:
-            variables = serialization.msgpack_restore(f.read())
-        detector = build_adamixer_detector_fn(variables, args.score_thresh)
+            blob = serialization.msgpack_restore(f.read())
+        # train_detector --arch adamixer saves {config, params} so the decoder
+        # geometry travels with the weights; bare-variables blobs (converted
+        # mmdet checkpoints) keep the module defaults.
+        overrides = {}
+        if isinstance(blob, dict) and "config" in blob:
+            overrides = {k: int(v) for k, v in blob["config"].items()
+                         if k != "num_classes"}
+            num_classes = int(blob["config"]["num_classes"])
+            variables = {"params": blob["params"], **blob.get("extra", {})}
+        else:
+            num_classes = 80
+            variables = blob
+        detector = build_adamixer_detector_fn(
+            variables, args.score_thresh, num_classes=num_classes,
+            min_size=args.min_size, max_size=args.max_size,
+            canvas=args.canvas, **overrides)
         cache_dir = os.path.join(args.cache_dir, args.partition)
         generate_model_detections(
             detector, dataset, cache_dir, score_thresh=args.score_thresh,

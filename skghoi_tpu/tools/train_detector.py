@@ -15,7 +15,7 @@ import jax
 
 
 def build_argparser():
-    p = argparse.ArgumentParser(description="Train the FPN detector")
+    p = argparse.ArgumentParser(description="Train the stage-1 detector")
     p.add_argument("--data-root", default="hicodet")
     p.add_argument("--partition", default="train2015")
     p.add_argument("--num-epochs", default=10, type=int)
@@ -26,7 +26,99 @@ def build_argparser():
     p.add_argument("--print-interval", default=100, type=int)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-root", default=None,
+                   help="directory for the synthetic dataset (shared with "
+                        "later pipeline stages; default: fresh tmpdir)")
+    # Architecture selection: dense anchor FPN head, or the reference's
+    # actual stage-1 family (query-based AdaMixer with Hungarian set loss,
+    # ``hicodet/detections/adamixer_preprocessing.py`` counterpart).
+    p.add_argument("--arch", choices=["fpn", "adamixer"], default="fpn")
+    p.add_argument("--num-queries", default=100, type=int)
+    p.add_argument("--num-stages", default=6, type=int)
+    p.add_argument("--content-dim", default=256, type=int)
+    p.add_argument("--groups", default=4, type=int)
+    p.add_argument("--in-points", default=32, type=int)
+    p.add_argument("--out-points", default=128, type=int)
+    p.add_argument("--ffn-dim", default=2048, type=int)
     return p
+
+
+def train_adamixer(args, loader):
+    """AdaMixer fine-tune loop: forward -> host Hungarian matching per
+    (stage, image) -> jitted set-loss gradient step.  Saves a Flax msgpack
+    checkpoint (config + params) that ``preprocess_detections --detector
+    adamixer`` loads to cache stage-2 detections."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax import serialization
+
+    from skghoi_tpu import constants as C
+    from skghoi_tpu.detect.adamixer import (
+        AdaMixerDetector,
+        compute_assignments,
+        set_loss,
+    )
+
+    cfg = dict(
+        num_classes=C.HICO_NUM_OBJECTS, num_queries=args.num_queries,
+        num_stages=args.num_stages, content_dim=args.content_dim,
+        groups=args.groups, in_points=args.in_points,
+        out_points=args.out_points, ffn_dim=args.ffn_dim,
+    )
+    model = AdaMixerDetector(**cfg)
+    first_batch, _ = next(iter(loader))
+    variables = dict(model.init(jax.random.PRNGKey(0), first_batch.images))
+    params = variables.pop("params")
+    tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    opt_state = tx.init(params)
+
+    fwd = jax.jit(lambda p, imgs: model.apply({"params": p, **variables}, imgs))
+
+    @jax.jit
+    def step(params, opt_state, images, assignments, gt_boxes, gt_labels,
+             gt_valid, hw):
+        def loss_fn(p):
+            out = model.apply({"params": p, **variables}, images)
+            return set_loss(out, assignments, gt_boxes, gt_labels, gt_valid,
+                            hw)["set_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    it = 0
+    for epoch in range(args.num_epochs):
+        loader.set_epoch(epoch)
+        for hoi_batch, _ in loader:
+            t = hoi_batch.targets
+            gt_boxes = jnp.concatenate([t.boxes_h, t.boxes_o], axis=1)
+            gt_labels = jnp.concatenate(
+                [jnp.full_like(t.object, C.HICO_HUMAN_IDX), t.object], axis=1
+            )
+            gt_valid = jnp.concatenate([t.valid, t.valid], axis=1)
+            hw = (float(hoi_batch.images.shape[1]), float(hoi_batch.images.shape[2]))
+            out = fwd(params, hoi_batch.images)
+            assignments = jnp.asarray(
+                compute_assignments(out, gt_boxes, gt_labels, gt_valid, hw)
+            )
+            params, opt_state, loss = step(
+                params, opt_state, hoi_batch.images, assignments,
+                gt_boxes, gt_labels, gt_valid, hw,
+            )
+            it += 1
+            if it % args.print_interval == 0:
+                print(f"iter {it}: set_loss {float(loss):.4f}")
+        os.makedirs(args.cache_dir, exist_ok=True)
+        path = os.path.join(args.cache_dir, f"adamixer_{epoch:02d}.msgpack")
+        # ``variables`` holds the non-trained collections (FrozenBatchNorm
+        # batch_stats); the detector cannot be rebuilt without them.
+        blob = {"config": cfg, "params": jax.device_get(params),
+                "extra": jax.device_get(variables)}
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(blob))
+        print(f"Saved {path}")
+    print("Detector training complete.")
 
 
 def main(argv=None):
@@ -50,7 +142,7 @@ def main(argv=None):
 
         from skghoi_tpu.data.synthetic import make_synthetic_hicodet
 
-        root = tempfile.mkdtemp(prefix="skghoi_det_")
+        root = args.synthetic_root or tempfile.mkdtemp(prefix="skghoi_det_")
         make_synthetic_hicodet(root, args.partition, num_images=8)
         args.data_root = root
         det_dir = os.path.join(root, f"detections_{args.partition}")
@@ -68,6 +160,9 @@ def main(argv=None):
         "hicodet", args.partition, args.data_root, det_dir, flip=True, **factory_kwargs
     )
     loader = HOILoader(factory, batch, shuffle=True, with_targets=True)
+
+    if args.arch == "adamixer":
+        return train_adamixer(args, loader)
 
     model = FPNDetector()
     first_batch, _ = next(iter(loader))

@@ -86,7 +86,11 @@ def main(argv=None):
             make_synthetic_vcoco(root, part, num_images=8)
         args.partitions = [part]
         args.data_root = root
-        args.train_detection_dir = os.path.join(root, f"detections_{part}")
+        # Respect an explicit detection cache (e.g. one written by
+        # preprocess_detections --detector adamixer); default to the
+        # GT-derived detections the synthetic builder ships.
+        if args.train_detection_dir == "hicodet/detections/train2015":
+            args.train_detection_dir = os.path.join(root, f"detections_{part}")
         args.val_detection_dir = args.train_detection_dir
         factory_kwargs = dict(
             min_size=64, max_size=107, canvas_landscape=(64, 96), canvas_portrait=(96, 64)

@@ -119,6 +119,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="append the JSON result line to this file")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None, help="save final params here")
+    p.add_argument("--load-checkpoint", default=None,
+                   help="restore params from a prior --checkpoint file before "
+                        "(optionally zero) further training; with --epochs 0 "
+                        "this is an eval-only run of a committed checkpoint")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (hedge runs while the TPU "
+                        "tunnel is down; env vars cannot override the "
+                        "sitecustomize backend pin, only jax.config can)")
     p.add_argument("--eval-chunk", type=int, default=16)
     p.add_argument("--type-constrain", action="store_true")
     p.add_argument("--skip-eval", action="store_true")
@@ -129,6 +137,8 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     parser = build_argparser()
     args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.example:
         from skghoi_tpu.kge.examples import EXAMPLES
 
@@ -151,6 +161,13 @@ def main(argv=None):
 
     model = MODELS[args.model](args, data)
     params = model.init(jax.random.PRNGKey(args.seed), kg.train_h[:1], kg.train_t[:1], kg.train_r[:1])
+
+    if args.load_checkpoint:
+        from flax import serialization
+
+        with open(args.load_checkpoint, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        print(f"Loaded checkpoint {args.load_checkpoint}")
 
     if args.transe_init_epochs > 0:
         # Published TransR recipe (train_transr_FB15K237.py:24-56): 1 epoch of
@@ -180,23 +197,26 @@ def main(argv=None):
         l3_regul_rate=args.l3_regul_rate,
     )
 
-    trainer = Trainer(
-        model, params, strategy, kg,
-        nbatches=args.nbatches, neg_rate=args.neg_ent, bern=args.bern,
-        filtered=not args.no_filter, train_times=args.epochs,
-        alpha=args.alpha, opt_method=args.opt, seed=args.seed,
-        sampling_mode=args.sampling_mode,
-        mesh=__import__("skghoi_tpu.parallel.mesh", fromlist=["make_mesh"]).make_mesh()
-        if args.data_parallel else None,
-    )
-    t0 = time.time()
-    params = trainer.run()
-    train_time = time.time() - t0
-    steps = args.epochs * args.nbatches
-    print(f"Training: {train_time:.1f}s for {steps} steps ({steps / max(train_time, 1e-9):.1f} steps/s)")
-
-    if args.checkpoint:
-        trainer.save_checkpoint(args.checkpoint)
+    if args.epochs > 0:
+        trainer = Trainer(
+            model, params, strategy, kg,
+            nbatches=args.nbatches, neg_rate=args.neg_ent, bern=args.bern,
+            filtered=not args.no_filter, train_times=args.epochs,
+            alpha=args.alpha, opt_method=args.opt, seed=args.seed,
+            sampling_mode=args.sampling_mode,
+            mesh=__import__("skghoi_tpu.parallel.mesh", fromlist=["make_mesh"]).make_mesh()
+            if args.data_parallel else None,
+        )
+        t0 = time.time()
+        params = trainer.run()
+        train_time = time.time() - t0
+        steps = args.epochs * args.nbatches
+        print(f"Training: {train_time:.1f}s for {steps} steps ({steps / max(train_time, 1e-9):.1f} steps/s)")
+        if args.checkpoint:
+            trainer.save_checkpoint(args.checkpoint)
+    else:
+        train_time, steps = 0.0, 0
+        print("Training skipped (--epochs 0): evaluating loaded/initial params")
 
     if not args.skip_eval:
         tester = Tester(model, params, data, chunk_size=args.eval_chunk)
@@ -208,6 +228,7 @@ def main(argv=None):
             line = json.dumps({
                 "model": args.model, "data": args.data,
                 "example": args.example, "seed": args.seed,
+                "platform": jax.default_backend(),
                 "cli": vars(args),
                 "mrr": res.mrr, "mr": res.mr,
                 "hit10": res.hit10, "hit3": res.hit3, "hit1": res.hit1,

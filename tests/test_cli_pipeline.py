@@ -77,3 +77,53 @@ def test_vcoco_cli_chain(tmp_path, capsys):
     out = capsys.readouterr().out
     # the official evaluator's report lines
     assert "scenario 1" in out and "role AP" in out, out[-2000:]
+
+def test_adamixer_two_stage_chain(tmp_path, capsys):
+    """Our stage 1 feeds our stage 2 (VERDICT r3 #7): train_detector --arch
+    adamixer -> preprocess_detections --detector adamixer -> train_hicodet
+    consumes that cache.  Reference pipeline:
+    ``hicodet/detections/adamixer_preprocessing.py:30-135`` -> ``utils.py:132-138``."""
+    from skghoi_tpu.tools import preprocess_detections, train_detector, train_hicodet
+
+    root = str(tmp_path / "synth_adamixer")
+    det_ckpts = str(tmp_path / "det_ckpts")
+    cache_root = str(tmp_path / "adamixer_dets")
+
+    train_detector.main([
+        "--synthetic", "--synthetic-root", root, "--arch", "adamixer",
+        "--cache-dir", det_ckpts, "--batch-size", "2", "--num-epochs", "1",
+        "--num-queries", "12", "--num-stages", "2", "--content-dim", "64",
+        "--groups", "4", "--in-points", "8", "--out-points", "16",
+        "--ffn-dim", "128", "--print-interval", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "set_loss" in out and "Detector training complete." in out
+    ckpt = os.path.join(det_ckpts, "adamixer_00.msgpack")
+    assert os.path.exists(ckpt)
+
+    preprocess_detections.main([
+        "--partition", "train2015", "--data-root", root,
+        "--cache-dir", cache_root, "--ckpt-path", ckpt,
+        "--detector", "adamixer", "--score-thresh", "0.05",
+        "--min-size", "64", "--max-size", "96", "--canvas", "64", "96",
+    ])
+    out = capsys.readouterr().out
+    assert "Cached" in out
+    det_dir = os.path.join(cache_root, "train2015")
+    files = sorted(glob.glob(os.path.join(det_dir, "*.json")))
+    assert len(files) == 8, files
+    import json as _json
+
+    with open(files[0]) as f:
+        blob = _json.load(f)
+    assert len(blob["boxes"]) == len(blob["labels"]) == len(blob["scores"]) > 0
+
+    ckpt_dir = str(tmp_path / "hoi_ckpts")
+    train_hicodet.main([
+        "--synthetic", "--synthetic-root", root, "--cache-dir", ckpt_dir,
+        "--train-detection-dir", det_dir,
+        "--batch-size", "1", "--num-workers", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "Epoch" in out and "Training complete." in out
+    assert glob.glob(os.path.join(ckpt_dir, "ckpt_*")), "no HOI checkpoint saved"
