@@ -80,8 +80,16 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
     }
 
 
-def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6) -> float:
-    """Steady-state training images/second (fwd + bwd + AdamW) on one chip."""
+def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6,
+                  remat_stages: int | None = None) -> float:
+    """Steady-state training images/second (fwd + bwd + AdamW) on one chip.
+
+    ``remat_stages`` (or env ``SKGHOI_BENCH_REMAT``) rematerializes backbone
+    bottlenecks from that 1-based stage on — the knob that keeps large
+    batches inside HBM for the batch-size axis of the MFU sweep.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -90,7 +98,9 @@ def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6) -> fl
     from skghoi_tpu.models import SpatiallyConditionedGraph
     from skghoi_tpu.parallel.train_step import build_train_step
 
-    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
+    if remat_stages is None:
+        remat_stages = int(os.environ.get("SKGHOI_BENCH_REMAT", "0"))
+    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16, remat_stages=remat_stages)
     batch = _make_batch(batch_size, canvas, with_targets=True)
     ovm = _verb_mask()
     variables = jax.jit(lambda r, b: model.init(r, b, ovm, training=True))(

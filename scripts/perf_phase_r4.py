@@ -71,16 +71,17 @@ if not over_budget("perf_report bs8"):
         print(f"PERF_REPORT FAILED: {type(e).__name__}: {e}", flush=True)
     flush_results()
 
-# 4: batch sweep.
-for bs in (16,):
-    if over_budget(f"train bs{bs}"):
+# 4: batch sweep; remat from layer2 on keeps the bigger batches in HBM.
+for bs, remat in ((16, 0), (16, 2), (32, 2)):
+    if over_budget(f"train bs{bs} remat{remat}"):
         break
     try:
-        t = bench.measure_train(batch_size=bs)
-        RESULTS[f"train_bs{bs}"] = t
-        print(f"BENCH_TRAIN bs={bs}: {t:.2f} img/s", flush=True)
+        t = bench.measure_train(batch_size=bs, remat_stages=remat)
+        RESULTS[f"train_bs{bs}_remat{remat}"] = t
+        print(f"BENCH_TRAIN bs={bs} remat={remat}: {t:.2f} img/s", flush=True)
     except Exception as e:
-        print(f"BENCH_TRAIN bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"BENCH_TRAIN bs={bs} remat={remat} FAILED: "
+              f"{type(e).__name__}: {e}", flush=True)
     flush_results()
 
 for bs in (16, 32):

@@ -33,9 +33,11 @@ class DetectorBackbone(nn.Module):
 
     dtype: Any = jnp.float32
     frozen_stages: int = -1
+    remat_stages: int = 0
 
     def setup(self):
-        self.backbone = ResNet50(dtype=self.dtype, frozen_stages=self.frozen_stages)
+        self.backbone = ResNet50(dtype=self.dtype, frozen_stages=self.frozen_stages,
+                                 remat_stages=self.remat_stages)
         self.neck = FPN(dtype=self.dtype)
 
     def __call__(self, images: Array) -> Tuple[Array, ...]:

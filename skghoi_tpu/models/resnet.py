@@ -172,6 +172,12 @@ class ResNet50(nn.Module):
     stem_space_to_depth: bool = True
     stem_impl: str = "conv"
     frozen_stages: int = -1
+    # Rematerialize bottlenecks from this 1-based stage onward (0 disables):
+    # backward recomputes their activations instead of keeping them in HBM —
+    # the standard trade that unlocks larger train batches (the batch-size
+    # axis of the MFU campaign).  Parameter names are unchanged (nn.remat is
+    # transparent), so checkpoints are interchangeable.
+    remat_stages: int = 0
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -187,10 +193,13 @@ class ResNet50(nn.Module):
         outputs = []
         widths = (64, 128, 256, 512)
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
+            block_cls = Bottleneck
+            if self.remat_stages and stage + 1 >= self.remat_stages:
+                block_cls = nn.remat(Bottleneck)
             for block in range(blocks):
                 strides = 2 if (block == 0 and stage > 0) else 1
-                x = Bottleneck(width, strides=strides, dtype=self.dtype,
-                               name=f"layer{stage + 1}_block{block}")(x)
+                x = block_cls(width, strides=strides, dtype=self.dtype,
+                              name=f"layer{stage + 1}_block{block}")(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)
             outputs.append(x)

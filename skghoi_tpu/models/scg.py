@@ -51,9 +51,13 @@ class SpatiallyConditionedGraph(nn.Module):
     # detection default).  Freezing also removes ~1/3 of the train step: the
     # stem+layer1 backward at 832x1344 is the profile's top hotspot.
     frozen_stages: int = 1
+    # Rematerialize backbone bottlenecks from this 1-based stage on (0 = off);
+    # trades recompute FLOPs for activation HBM to unlock larger train batches.
+    remat_stages: int = 0
 
     def setup(self):
-        self.detector = DetectorBackbone(dtype=self.dtype, frozen_stages=self.frozen_stages)
+        self.detector = DetectorBackbone(dtype=self.dtype, frozen_stages=self.frozen_stages,
+                                         remat_stages=self.remat_stages)
         self.interaction_head = InteractionHead(
             num_cls=self.num_classes,
             human_idx=self.human_idx,
