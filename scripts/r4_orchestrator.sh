@@ -36,6 +36,11 @@ if [ "$left" -gt 10800 ]; then
     --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --train \
     2>&1 | grep -v WARNING | tee /tmp/r4_bench_io.log
   echo "$(date -u +%H:%M:%S) bench_io exit=$?"
+  # A/B: host resize vs raw-uint8 transfer + on-device resize (loader only).
+  timeout 900 python -u -m skghoi_tpu.tools.bench_io \
+    --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --device-resize \
+    2>&1 | grep -v WARNING | tee -a /tmp/r4_bench_io.log
+  echo "$(date -u +%H:%M:%S) bench_io device-resize exit=$?"
 else
   echo "$(date -u +%H:%M:%S) skipping bench_io (${left}s left < 3h); KGE queue first"
 fi

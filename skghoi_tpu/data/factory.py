@@ -43,11 +43,22 @@ class DataFactory:
         max_size: int = C.IMAGE_MAX_SIZE,
         canvas_landscape=C.CANVAS_LANDSCAPE,
         canvas_portrait=C.CANVAS_PORTRAIT,
+        device_resize: bool = False,
+        raw_canvas_landscape=(768, 1152),
+        raw_canvas_portrait=(1152, 768),
     ):
         self.min_size = min_size
         self.max_size = max_size
         self.canvas_landscape = tuple(canvas_landscape)
         self.canvas_portrait = tuple(canvas_portrait)
+        # device_resize: samples carry the decoded uint8 image padded into a
+        # static raw canvas instead of a host-resized float canvas; the
+        # bilinear resize + mean fill then run on device
+        # (``data/device_preprocess.device_resize_canvas``).  uint8 transfer
+        # is 4x lighter and the resize leaves single-core numpy.
+        self.device_resize = device_resize
+        self.raw_canvas_landscape = tuple(raw_canvas_landscape)
+        self.raw_canvas_portrait = tuple(raw_canvas_portrait)
         if name not in ("hicodet", "vcoco"):
             raise ValueError(f"Unknown dataset {name}")
         self.name = name
@@ -124,7 +135,24 @@ class DataFactory:
 
         w, h = image.size
         canvas = canvas_for(h, w, self.canvas_landscape, self.canvas_portrait)
-        arr, (nh, nw), _ = prepare_image(image, canvas, self.min_size, self.max_size)
+        if self.device_resize:
+            from skghoi_tpu.data.transforms import resize_scale, resized_size
+
+            raw_canvas = canvas_for(
+                h, w, self.raw_canvas_landscape, self.raw_canvas_portrait
+            )
+            if h > raw_canvas[0] or w > raw_canvas[1]:
+                raise ValueError(
+                    f"image {h}x{w} exceeds raw canvas {raw_canvas}; raise "
+                    "raw_canvas_landscape/portrait (device_resize mode)"
+                )
+            scale = resize_scale(h, w, self.min_size, self.max_size)
+            nh, nw = resized_size(h, w, scale)
+            nh, nw = min(nh, canvas[0]), min(nw, canvas[1])
+            arr = np.zeros((*raw_canvas, 3), np.uint8)
+            arr[:h, :w] = np.asarray(image.convert("RGB"), np.uint8)
+        else:
+            arr, (nh, nw), _ = prepare_image(image, canvas, self.min_size, self.max_size)
 
         return dict(
             image=arr,

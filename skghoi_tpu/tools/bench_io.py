@@ -41,6 +41,9 @@ def build_argparser():
                    help="on-disk H W (HICO-like)")
     p.add_argument("--train", action="store_true",
                    help="also run the loader-overlapped SCG train step")
+    p.add_argument("--device-resize", action="store_true",
+                   help="raw-uint8 loader + on-device bilinear resize/canvas "
+                        "(data/device_preprocess) instead of host resize")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--small", action="store_true",
                    help="tiny transform geometry (CI smoke, not a benchmark)")
@@ -67,6 +70,11 @@ def main(argv=None):
     if args.small:
         factory_kwargs = dict(min_size=64, max_size=107,
                               canvas_landscape=(64, 96), canvas_portrait=(96, 64))
+    if args.device_resize:
+        factory_kwargs["device_resize"] = True
+        if args.small:
+            factory_kwargs["raw_canvas_landscape"] = (480, 640)
+            factory_kwargs["raw_canvas_portrait"] = (640, 480)
     factory = DataFactory(
         "hicodet", part, root, os.path.join(root, f"detections_{part}"),
         flip=True, **factory_kwargs,
@@ -83,8 +91,19 @@ def main(argv=None):
         t0 = time.time()
         seen = 0
         for batch, _ in loader:
-            # include the host->device transfer the train step would pay
-            jax.device_put(batch.images, dev).block_until_ready()
+            if args.device_resize:
+                from skghoi_tpu.data.device_preprocess import device_resize_canvas
+
+                canvas = (factory.canvas_landscape
+                          if batch.images.shape[1] <= batch.images.shape[2]
+                          else factory.canvas_portrait)
+                imgs = jax.device_put(batch.images, dev)
+                device_resize_canvas(
+                    imgs, batch.original_sizes, batch.image_sizes, canvas
+                ).block_until_ready()
+            else:
+                # include the host->device transfer the train step would pay
+                jax.device_put(batch.images, dev).block_until_ready()
             seen += batch.images.shape[0]
         dt = time.time() - t0
         epoch_rates.append(seen / dt)
@@ -93,7 +112,7 @@ def main(argv=None):
         "section": "loader", "platform": jax.default_backend(),
         "num_images": n_img, "batch": args.batch_size,
         "num_workers": args.num_workers, "image_size": list(args.image_size),
-        "small": args.small,
+        "small": args.small, "device_resize": args.device_resize,
         "epoch_imgs_per_s": [round(r, 2) for r in epoch_rates],
         "imgs_per_s": round(float(np.median(steady)), 2),
     }), flush=True)

@@ -74,6 +74,11 @@ def test_sample_3d_matches_torch_oracle():
 
 
 def test_adaptive_mixing_matches_converted_torch():
+    """Pins ``adamixer_convert.load_torch_mixing`` against the torch oracle's
+    state-dict layout.  NB: this (and the module it tests) can never be
+    exercised against a *real* mmdet AdaMixer checkpoint in this environment
+    (zero egress, none vendored); the oracle replicates the official module's
+    parameter naming, which is the strongest evidence available here."""
     torch.manual_seed(0)
     rng = np.random.default_rng(2)
     b, n, g, p_in, p_out, c = 2, 4, 2, 5, 6, 16

@@ -1,0 +1,89 @@
+"""Device resize-into-canvas must match the host pipeline: same
+``F.interpolate`` bilinear semantics, same mean-filled padding."""
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from skghoi_tpu import constants as C
+from skghoi_tpu.data.device_preprocess import device_resize_canvas
+from skghoi_tpu.data.transforms import prepare_image, resize_scale, resized_size
+
+
+def test_matches_host_prepare_image():
+    rng = np.random.default_rng(0)
+    canvas = (64, 96)
+    raw_canvas = (96, 128)
+    sizes = [(50, 75), (40, 120), (64, 96)]  # (h, w), incl. exact-fit
+    raws = np.zeros((len(sizes), *raw_canvas, 3), np.uint8)
+    orig = np.zeros((len(sizes), 2), np.float32)
+    new = np.zeros((len(sizes), 2), np.float32)
+    hosts = []
+    for i, (h, w) in enumerate(sizes):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        raws[i, :h, :w] = arr
+        scale = resize_scale(h, w, 48, 96)
+        nh, nw = resized_size(h, w, scale)
+        nh, nw = min(nh, canvas[0]), min(nw, canvas[1])
+        orig[i] = (h, w)
+        new[i] = (nh, nw)
+        host, got_hw, _ = prepare_image(
+            Image.fromarray(arr), canvas, min_size=48, max_size=96
+        )
+        assert got_hw == (nh, nw)
+        hosts.append(host)
+
+    dev = np.asarray(
+        device_resize_canvas(jnp.asarray(raws), jnp.asarray(orig),
+                             jnp.asarray(new), canvas)
+    )
+    for i, host in enumerate(hosts):
+        np.testing.assert_allclose(dev[i], host, atol=2e-5,
+                                   err_msg=f"image {i} ({sizes[i]})")
+        # padding is exactly the mean pixel
+        nh, nw = int(new[i][0]), int(new[i][1])
+        if nh < canvas[0]:
+            np.testing.assert_array_equal(
+                dev[i, nh:], np.broadcast_to(np.float32(C.IMAGE_MEAN),
+                                             dev[i, nh:].shape))
+
+
+def test_uint8_and_float_inputs_agree():
+    rng = np.random.default_rng(1)
+    raw_u8 = rng.integers(0, 256, (2, 48, 64, 3), np.uint8)
+    orig = np.asarray([[48, 64], [30, 50]], np.float32)
+    new = np.asarray([[32, 43], [32, 53]], np.float32)
+    a = device_resize_canvas(jnp.asarray(raw_u8), jnp.asarray(orig),
+                             jnp.asarray(new), (32, 64))
+    b = device_resize_canvas(jnp.asarray(raw_u8.astype(np.float32) / 255.0),
+                             jnp.asarray(orig), jnp.asarray(new), (32, 64))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_raw_factory_matches_host_factory(tmp_path):
+    """DataFactory(device_resize=True) + device_resize_canvas reproduces the
+    host-resized images of the default factory, sample by sample."""
+    from skghoi_tpu.data.factory import DataFactory
+    from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+
+    root = str(tmp_path / "synth")
+    make_synthetic_hicodet(root, "train2015", num_images=4)
+    kw = dict(min_size=64, max_size=107, canvas_landscape=(64, 96),
+              canvas_portrait=(96, 64), flip=True, seed=3)
+    det = f"{root}/detections_train2015"
+    host = DataFactory("hicodet", "train2015", root, det, **kw)
+    raw = DataFactory("hicodet", "train2015", root, det, device_resize=True,
+                      raw_canvas_landscape=(128, 160),
+                      raw_canvas_portrait=(160, 128), **kw)
+    for i in range(4):
+        hs, rs = host[i], raw[i]
+        assert rs["image"].dtype == np.uint8
+        np.testing.assert_array_equal(hs["image_size"], rs["image_size"])
+        np.testing.assert_array_equal(hs["det_boxes"], rs["det_boxes"])
+        canvas = hs["canvas"]
+        dev = np.asarray(device_resize_canvas(
+            jnp.asarray(rs["image"])[None],
+            jnp.asarray(rs["original_size"])[None],
+            jnp.asarray(rs["image_size"])[None], tuple(canvas)))[0]
+        np.testing.assert_allclose(dev, hs["image"], atol=2e-5,
+                                   err_msg=f"sample {i}")
