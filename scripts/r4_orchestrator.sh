@@ -41,6 +41,7 @@ if [ "$left" -gt 10800 ]; then
     --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --device-resize \
     2>&1 | grep -v WARNING | tee -a /tmp/r4_bench_io.log
   echo "$(date -u +%H:%M:%S) bench_io device-resize exit=$?"
+  grep '^{' /tmp/r4_bench_io.log > BENCH_IO_R4.jsonl 2>/dev/null || true
 else
   echo "$(date -u +%H:%M:%S) skipping bench_io (${left}s left < 3h); KGE queue first"
 fi

@@ -78,3 +78,23 @@ def device_resize_canvas(
     if raw.dtype == jnp.uint8:
         scaled = scaled / 255.0
     return jax.vmap(one)(scaled, original_sizes, image_sizes)
+
+
+def prepare_batch(batch, factory):
+    """Device-resize a raw uint8 ``HOIBatch`` (``DataFactory(device_resize=
+    True)``) into the float canvas the model expects; float batches pass
+    through unchanged.  The target canvas is the factory's, picked by the
+    raw batch's orientation (both canvases share the h>w predicate)."""
+    import numpy as np
+
+    if batch.images.dtype != np.uint8:
+        return batch
+    canvas = (
+        factory.canvas_landscape
+        if batch.images.shape[1] <= batch.images.shape[2]
+        else factory.canvas_portrait
+    )
+    images = device_resize_canvas(
+        batch.images, batch.original_sizes, batch.image_sizes, canvas
+    )
+    return batch._replace(images=images)

@@ -59,6 +59,9 @@ def build_argparser():
                    help="reuse/create the synthetic dataset here (lets the "
                         "chained CLI tools share one dataset)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--device-resize", action="store_true",
+                   help="ship raw uint8 to the device and resize/canvas there "
+                        "(data/device_preprocess) instead of host numpy resize")
     return p
 
 
@@ -104,6 +107,11 @@ def main(argv=None):
     batch = args.batch_size * n_dev
     print(f"Devices: {n_dev} ({jax.devices()[0].platform}); global batch {batch}")
 
+    if args.device_resize:
+        factory_kwargs["device_resize"] = True
+        if args.synthetic:  # synthetic images are 120x160
+            factory_kwargs["raw_canvas_landscape"] = (128, 160)
+            factory_kwargs["raw_canvas_portrait"] = (160, 128)
     train_factory = DataFactory(
         args.dataset, args.partitions[0], args.data_root, args.train_detection_dir,
         flip=True, seed=args.random_seed, **factory_kwargs,
@@ -133,6 +141,10 @@ def main(argv=None):
     # Init with one real batch structure (fixed seed for cross-host sync,
     # reference configures/.../main.py:66-67).
     first_batch, _ = next(iter(train_loader))
+    if args.device_resize:
+        from skghoi_tpu.data.device_preprocess import prepare_batch
+
+        first_batch = prepare_batch(first_batch, train_factory)
     params = model.init(
         jax.random.PRNGKey(args.random_seed),
         first_batch,

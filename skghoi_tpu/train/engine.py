@@ -117,13 +117,23 @@ class LearningEngine:
             return batch
         return shard_batch(batch, self.mesh)
 
+    def _prepare(self, batch, loader):
+        """Raw uint8 batches (``DataFactory(device_resize=True)``) get their
+        bilinear resize + mean-filled canvas on device; float batches were
+        already canvased on the host and pass through untouched."""
+        if batch.images.dtype != np.uint8:
+            return batch
+        from skghoi_tpu.data.device_preprocess import prepare_batch
+
+        return prepare_batch(batch, loader.factory)
+
     def run(self, num_epochs: int):
         for _ in range(num_epochs):
             self.train_loader.set_epoch(self.epoch)
             meter = DetectionAPMeter(self.num_classes, algorithm="11P")
             for batch, indices in self.train_loader:
                 self.rng, step_rng = jax.random.split(self.rng)
-                batch = self._shard(batch)
+                batch = self._prepare(self._shard(batch), self.train_loader)
                 self.params, self.opt_state, total, losses, out = self.train_step(
                     self.params, self.extra_vars, self.opt_state, batch, step_rng
                 )
@@ -189,7 +199,10 @@ class LearningEngine:
     def validate(self) -> float:
         meter = DetectionAPMeter(self.num_classes, algorithm="11P")
         for batch, indices in self.val_loader:
-            out = self.eval_step(self.params, self.extra_vars, self._shard(batch))
+            out = self.eval_step(
+                self.params, self.extra_vars,
+                self._prepare(self._shard(batch), self.val_loader),
+            )
             out = jax_to_numpy(out)
             for slot, ds_index in enumerate(indices):
                 res = unpack_image_results(out, batch, slot)

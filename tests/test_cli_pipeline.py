@@ -127,3 +127,18 @@ def test_adamixer_two_stage_chain(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Epoch" in out and "Training complete." in out
     assert glob.glob(os.path.join(ckpt_dir, "ckpt_*")), "no HOI checkpoint saved"
+
+def test_train_hicodet_device_resize(tmp_path, capsys):
+    """Raw-uint8 loader + on-device resize trains end to end through the real
+    CLI (engine applies data/device_preprocess.prepare_batch per batch)."""
+    from skghoi_tpu.tools import train_hicodet
+
+    root = str(tmp_path / "synth_devres")
+    ckpt_dir = str(tmp_path / "ckpts_devres")
+    train_hicodet.main([
+        "--synthetic", "--synthetic-root", root, "--cache-dir", ckpt_dir,
+        "--batch-size", "1", "--num-workers", "0", "--device-resize",
+    ])
+    out = capsys.readouterr().out
+    assert "Epoch" in out and "Training complete." in out
+    assert glob.glob(os.path.join(ckpt_dir, "ckpt_*"))

@@ -87,3 +87,26 @@ def test_raw_factory_matches_host_factory(tmp_path):
             jnp.asarray(rs["image_size"])[None], tuple(canvas)))[0]
         np.testing.assert_allclose(dev, hs["image"], atol=2e-5,
                                    err_msg=f"sample {i}")
+
+
+def test_device_resize_sharded_matches_unsharded():
+    """The jitted preprocess must compose with the DP mesh: a batch sharded
+    over 8 virtual devices produces exactly the single-device result."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from skghoi_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    b = 8
+    raw = jnp.asarray(rng.integers(0, 256, (b, 48, 64, 3), np.uint8))
+    orig = jnp.asarray(np.tile([[40, 60]], (b, 1)).astype(np.float32))
+    new = jnp.asarray(np.tile([[32, 48]], (b, 1)).astype(np.float32))
+    want = np.asarray(device_resize_canvas(raw, orig, new, (32, 64)))
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    got = device_resize_canvas(
+        jax.device_put(raw, sh), jax.device_put(orig, sh),
+        jax.device_put(new, sh), (32, 64))
+    np.testing.assert_array_equal(np.asarray(got), want)
