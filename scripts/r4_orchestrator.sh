@@ -27,7 +27,7 @@ done
 
 echo "$(date -u +%H:%M:%S) === perf phase ==="
 timeout 3600 python -u scripts/perf_phase_r4.py 2>&1 | grep -v WARNING | tee /tmp/r4_perf_phase.log
-echo "$(date -u +%H:%M:%S) perf phase exit=$?"
+echo "$(date -u +%H:%M:%S) perf phase exit=${PIPESTATUS[0]}"
 
 left=$(( DEADLINE - $(date +%s) ))
 if [ "$left" -gt 10800 ]; then
@@ -35,12 +35,12 @@ if [ "$left" -gt 10800 ]; then
   timeout 2400 python -u -m skghoi_tpu.tools.bench_io \
     --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --train \
     2>&1 | grep -v WARNING | tee /tmp/r4_bench_io.log
-  echo "$(date -u +%H:%M:%S) bench_io exit=$?"
+  echo "$(date -u +%H:%M:%S) bench_io exit=${PIPESTATUS[0]}"
   # A/B: host resize vs raw-uint8 transfer + on-device resize (loader only).
   timeout 900 python -u -m skghoi_tpu.tools.bench_io \
     --num-images 64 --batch-size 8 --num-workers 4 --epochs 3 --device-resize \
     2>&1 | grep -v WARNING | tee -a /tmp/r4_bench_io.log
-  echo "$(date -u +%H:%M:%S) bench_io device-resize exit=$?"
+  echo "$(date -u +%H:%M:%S) bench_io device-resize exit=${PIPESTATUS[0]}"
   grep '^{' /tmp/r4_bench_io.log > BENCH_IO_R4.jsonl 2>/dev/null || true
 else
   echo "$(date -u +%H:%M:%S) skipping bench_io (${left}s left < 3h); KGE queue first"

@@ -59,6 +59,19 @@ class DataFactory:
         self.device_resize = device_resize
         self.raw_canvas_landscape = tuple(raw_canvas_landscape)
         self.raw_canvas_portrait = tuple(raw_canvas_portrait)
+        if device_resize:
+            # The device preprocess picks the *target* canvas from the raw
+            # batch's orientation (``device_preprocess.prepare_batch``), so
+            # the raw canvases must be strictly oriented — a square/swapped
+            # raw canvas would silently route portrait batches onto the
+            # landscape target and crop them.
+            if not (self.raw_canvas_landscape[0] < self.raw_canvas_landscape[1]
+                    and self.raw_canvas_portrait[0] > self.raw_canvas_portrait[1]):
+                raise ValueError(
+                    "device_resize requires strictly oriented raw canvases: "
+                    f"landscape {self.raw_canvas_landscape} must be H<W and "
+                    f"portrait {self.raw_canvas_portrait} must be H>W"
+                )
         if name not in ("hicodet", "vcoco"):
             raise ValueError(f"Unknown dataset {name}")
         self.name = name

@@ -89,8 +89,10 @@ def main(argv=None):
     for ep in range(args.epochs):
         loader.set_epoch(ep)
         t0 = time.time()
-        seen = 0
-        for batch, _ in loader:
+        # Short batches are padded by repeating an already-decoded sample;
+        # count unique dataset indices so padding can't inflate img/s.
+        seen_idx = set()
+        for batch, indices in loader:
             if args.device_resize:
                 from skghoi_tpu.data.device_preprocess import device_resize_canvas
 
@@ -104,9 +106,9 @@ def main(argv=None):
             else:
                 # include the host->device transfer the train step would pay
                 jax.device_put(batch.images, dev).block_until_ready()
-            seen += batch.images.shape[0]
+            seen_idx.update(int(i) for i in indices)
         dt = time.time() - t0
-        epoch_rates.append(seen / dt)
+        epoch_rates.append(len(seen_idx) / dt)
     steady = epoch_rates[1:] or epoch_rates
     print(json.dumps({
         "section": "loader", "platform": jax.default_backend(),
@@ -125,6 +127,10 @@ def main(argv=None):
 
     model = SpatiallyConditionedGraph()
     first, _ = next(iter(loader))
+    if args.device_resize:
+        from skghoi_tpu.data.device_preprocess import prepare_batch
+
+        first = prepare_batch(first, factory)
     variables = model.init(
         jax.random.PRNGKey(0), first, factory.dataset.object_verb_mask(),
         training=True, rng=jax.random.PRNGKey(0),

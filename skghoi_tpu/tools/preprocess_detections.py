@@ -230,11 +230,14 @@ def main(argv=None):
     if args.detector == "detr":
         from skghoi_tpu.detect.detr import load_torch_detr
 
-        detector = build_detr_detector_fn(load_torch_detr(sd), args.score_thresh)
+        detector = build_detr_detector_fn(
+            load_torch_detr(sd), args.score_thresh,
+            min_size=args.min_size, max_size=args.max_size, canvas=args.canvas)
     else:
         detector = build_detector_fn(
             load_torch_fasterrcnn(sd), args.score_thresh, args.nms_thresh,
             args.num_detections_per_image,
+            min_size=args.min_size, max_size=args.max_size, canvas=args.canvas,
         )
     cache_dir = os.path.join(args.cache_dir, args.partition)
     generate_model_detections(

@@ -66,6 +66,8 @@ def train_adamixer(args, loader):
         groups=args.groups, in_points=args.in_points,
         out_points=args.out_points, ffn_dim=args.ffn_dim,
     )
+    from skghoi_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
     model = AdaMixerDetector(**cfg)
     first_batch, _ = next(iter(loader))
     variables = dict(model.init(jax.random.PRNGKey(0), first_batch.images))
@@ -73,13 +75,22 @@ def train_adamixer(args, loader):
     tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
     opt_state = tx.init(params)
 
-    fwd = jax.jit(lambda p, imgs: model.apply({"params": p, **variables}, imgs))
+    # Data-parallel like the FPN path: params/opt state replicated, batches
+    # sharded on the leading axis; the Hungarian matching gathers the forward
+    # outputs to the host (DETR-family convention), the gradient step runs
+    # sharded with XLA-inserted psums.
+    mesh = make_mesh()
+    params = replicate(params, mesh)
+    extra = replicate(variables, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    fwd = jax.jit(lambda p, e, imgs: model.apply({"params": p, **e}, imgs))
 
     @jax.jit
-    def step(params, opt_state, images, assignments, gt_boxes, gt_labels,
-             gt_valid, hw):
+    def step(params, extra, opt_state, images, assignments, gt_boxes,
+             gt_labels, gt_valid, hw):
         def loss_fn(p):
-            out = model.apply({"params": p, **variables}, images)
+            out = model.apply({"params": p, **extra}, images)
             return set_loss(out, assignments, gt_boxes, gt_labels, gt_valid,
                             hw)["set_loss"]
 
@@ -91,6 +102,7 @@ def train_adamixer(args, loader):
     for epoch in range(args.num_epochs):
         loader.set_epoch(epoch)
         for hoi_batch, _ in loader:
+            hoi_batch = shard_batch(hoi_batch, mesh)
             t = hoi_batch.targets
             gt_boxes = jnp.concatenate([t.boxes_h, t.boxes_o], axis=1)
             gt_labels = jnp.concatenate(
@@ -98,12 +110,12 @@ def train_adamixer(args, loader):
             )
             gt_valid = jnp.concatenate([t.valid, t.valid], axis=1)
             hw = (float(hoi_batch.images.shape[1]), float(hoi_batch.images.shape[2]))
-            out = fwd(params, hoi_batch.images)
+            out = fwd(params, extra, hoi_batch.images)
             assignments = jnp.asarray(
                 compute_assignments(out, gt_boxes, gt_labels, gt_valid, hw)
             )
             params, opt_state, loss = step(
-                params, opt_state, hoi_batch.images, assignments,
+                params, extra, opt_state, hoi_batch.images, assignments,
                 gt_boxes, gt_labels, gt_valid, hw,
             )
             it += 1
@@ -114,7 +126,7 @@ def train_adamixer(args, loader):
         # ``variables`` holds the non-trained collections (FrozenBatchNorm
         # batch_stats); the detector cannot be rebuilt without them.
         blob = {"config": cfg, "params": jax.device_get(params),
-                "extra": jax.device_get(variables)}
+                "extra": jax.device_get(extra)}
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(blob))
         print(f"Saved {path}")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -217,6 +218,13 @@ def main(argv=None):
     else:
         train_time, steps = 0.0, 0
         print("Training skipped (--epochs 0): evaluating loaded/initial params")
+        if args.checkpoint:  # e.g. re-materialize a loaded ledger checkpoint
+            from flax import serialization
+
+            os.makedirs(os.path.dirname(args.checkpoint) or ".", exist_ok=True)
+            with open(args.checkpoint, "wb") as f:
+                f.write(serialization.to_bytes(params))
+            print(f"Saved {args.checkpoint}")
 
     if not args.skip_eval:
         tester = Tester(model, params, data, chunk_size=args.eval_chunk)

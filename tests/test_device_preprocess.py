@@ -110,3 +110,20 @@ def test_device_resize_sharded_matches_unsharded():
         jax.device_put(raw, sh), jax.device_put(orig, sh),
         jax.device_put(new, sh), (32, 64))
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_factory_rejects_unoriented_raw_canvas(tmp_path):
+    """A square/swapped raw canvas would silently route portrait batches to
+    the landscape target canvas; the factory must reject it up front."""
+    import pytest
+
+    from skghoi_tpu.data.factory import DataFactory
+    from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+
+    root = str(tmp_path / "synth")
+    make_synthetic_hicodet(root, "train2015", num_images=1)
+    with pytest.raises(ValueError, match="strictly oriented"):
+        DataFactory("hicodet", "train2015", root,
+                    f"{root}/detections_train2015", device_resize=True,
+                    raw_canvas_landscape=(512, 512),
+                    raw_canvas_portrait=(512, 512))
