@@ -25,14 +25,42 @@ from skghoi_tpu.kge.sampling import DeviceKG, sample_batch, sample_batch_oneside
 from skghoi_tpu.kge.strategy import NegativeSampling
 
 
+def _torch_adagrad(lr: float, eps: float = 1e-10):
+    """Adagrad with torch's update rule ``g / (sqrt(accum) + eps)``.
+
+    optax.adagrad puts eps INSIDE the sqrt (``g / sqrt(accum + eps)``), which
+    damps the first step of tiny-gradient elements: for ``|g| ~ 1e-6`` torch
+    still takes a full ``±lr`` sign step while optax takes ~0.1*lr.  That
+    kick is load-bearing — SimplE/Analogy on WN18RR start with triple-product
+    score gradients ~1e-6; without it the L2 term's pull dominates and the
+    11-row relation tables collapse to exactly 0 (measured: rel norm
+    4.5 -> 0.0036 in 2 epochs, loss frozen at softplus(0) forever), while
+    the same recipe under torch semantics trains.  Past the first steps the
+    two rules agree to ~1e-5 relative (accum >> eps)."""
+
+    def init(params):
+        return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def update(grads, state, params=None):
+        del params
+        accum = jax.tree_util.tree_map(lambda a, g: a + g * g, state, grads)
+        upd = jax.tree_util.tree_map(
+            lambda g, a: -lr * g / (jnp.sqrt(a) + eps), grads, accum
+        )
+        return upd, accum
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(opt_method: str, alpha: float, lr_decay: float = 0.0, weight_decay: float = 0.0):
     m = opt_method.lower()
     if m == "adagrad":
         # torch Adagrad semantics: accumulator starts at 0 (optax defaults to
-        # 0.1), so the first steps are ~sign(g)*lr — the kick that lets
-        # regularized bilinear models (DistMult/ComplEx) escape the tiny
-        # xavier-init basin the way the reference training does.
-        opt = optax.adagrad(alpha, initial_accumulator_value=0.0, eps=1e-10)
+        # 0.1) AND eps outside the sqrt — the first steps are ~sign(g)*lr,
+        # the kick that lets regularized bilinear models escape the tiny
+        # xavier-init basin the way the reference training does (see
+        # _torch_adagrad for the SimplE collapse this fixes).
+        opt = _torch_adagrad(alpha, eps=1e-10)
     elif m == "adadelta":
         opt = optax.adadelta(alpha)
     elif m == "adam":

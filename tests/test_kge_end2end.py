@@ -168,3 +168,35 @@ def test_mesh_data_parallel_trainer_memorizes_ring():
     params = trainer.run()
     res = Tester(model, params, data, chunk_size=4).run_link_prediction(log_fn=lambda s: None)
     assert res.hit10 > 0.9, res
+
+
+def test_torch_adagrad_first_step_semantics():
+    """Adagrad must use torch's rule g/(sqrt(accum)+eps): a tiny first
+    gradient still takes a full ±lr step.  optax.adagrad's eps-inside-sqrt
+    damps it ~10x at |g|=1e-6, which let SimplE's 11-row WN18RR relation
+    tables collapse to zero under the L2 term (loss frozen at softplus(0))."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+
+    from skghoi_tpu.kge.trainer import make_optimizer
+
+    g = np.asarray([1e-6, 1e-3, 0.05, -1e-6], np.float32)
+    p = np.asarray([0.01, 0.01, 0.1, 0.01], np.float32)
+    opt = make_optimizer("adagrad", 0.5)
+    state = opt.init(jnp.asarray(p))
+    upd, state = opt.update(jnp.asarray(g), state, jnp.asarray(p))
+
+    tp = torch.nn.Parameter(torch.tensor(p))
+    to = torch.optim.Adagrad([tp], lr=0.5)
+    tp.grad = torch.tensor(g)
+    to.step()
+    want = (tp.detach().numpy() - p)
+    np.testing.assert_allclose(np.asarray(upd), want, rtol=1e-5, atol=1e-7)
+
+    # second step agrees too (accumulator carried)
+    upd2, _ = opt.update(jnp.asarray(g), state, None)
+    tp.grad = torch.tensor(g)
+    to.step()
+    want2 = tp.detach().numpy() - (p + want)
+    np.testing.assert_allclose(np.asarray(upd2), want2, rtol=1e-5, atol=1e-7)
