@@ -183,7 +183,12 @@ def main(argv=None):
     parser.add_argument("--max-size", type=int, default=C.IMAGE_MAX_SIZE)
     parser.add_argument("--canvas", type=int, nargs=2, default=None,
                         help="fixed H W canvas override (must be /32)")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.canvas is not None:
         args.canvas = tuple(args.canvas)
 
