@@ -25,9 +25,16 @@ while true; do
   sleep 60
 done
 
+commit_artifacts() {
+  # Explicit paths only: never sweep in unrelated working-tree edits.
+  git add PERF_R4.json BENCH_IO_R4.jsonl KGE_RESULTS.jsonl KGE_RESULTS_CPU.jsonl checkpoints/*.ckpt 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "$1"
+}
+
 echo "$(date -u +%H:%M:%S) === perf phase ==="
 timeout 3600 python -u scripts/perf_phase_r4.py 2>&1 | grep -v WARNING | tee /tmp/r4_perf_phase.log
 echo "$(date -u +%H:%M:%S) perf phase exit=${PIPESTATUS[0]}"
+commit_artifacts "Round-4 perf phase: measured post-freeze bench + MFU numbers (PERF_R4.json)"
 
 left=$(( DEADLINE - $(date +%s) ))
 if [ "$left" -gt 10800 ]; then
@@ -42,10 +49,20 @@ if [ "$left" -gt 10800 ]; then
     2>&1 | grep -v WARNING | tee -a /tmp/r4_bench_io.log
   echo "$(date -u +%H:%M:%S) bench_io device-resize exit=${PIPESTATUS[0]}"
   grep '^{' /tmp/r4_bench_io.log > BENCH_IO_R4.jsonl 2>/dev/null || true
+  commit_artifacts "Round-4 IO bench: loader-included throughput + device-resize A/B (BENCH_IO_R4.jsonl)"
 else
   echo "$(date -u +%H:%M:%S) skipping bench_io (${left}s left < 3h); KGE queue first"
 fi
 
 echo "$(date -u +%H:%M:%S) === KGE queue (deadline $DEADLINE) ==="
-bash scripts/run_kge_round4.sh "$DEADLINE" 2>&1 | tee /tmp/r4_kge_queue.log
+bash scripts/run_kge_round4.sh "$DEADLINE" 2>&1 | tee /tmp/r4_kge_queue.log &
+KGE_PID=$!
+# Commit ledger rows as they land (a queue cut off at the deadline must not
+# lose the rows it already measured).
+while kill -0 "$KGE_PID" 2>/dev/null; do
+  sleep 600
+  commit_artifacts "Round-4 KGE queue: ledger rows measured so far"
+done
+wait "$KGE_PID"
+commit_artifacts "Round-4 KGE queue: final ledger rows"
 echo "$(date -u +%H:%M:%S) orchestrator done"
