@@ -25,12 +25,21 @@ while true; do
   sleep 60
 done
 
+# A long pytest suite on this 1-core host triples TPU compile times
+# (memory: serialize pytest-with-compiles and TPU jobs).  Freeze it (by
+# explicit PID only) for the duration of the TPU phases, resume at the end.
+SUITE_PID=${SUITE_PID:-}
+suite_stop()   { [ -n "$SUITE_PID" ] && kill -STOP "$SUITE_PID" 2>/dev/null && echo "suite $SUITE_PID frozen"; }
+suite_resume() { [ -n "$SUITE_PID" ] && kill -CONT "$SUITE_PID" 2>/dev/null && echo "suite $SUITE_PID resumed"; }
+trap suite_resume EXIT
+
 commit_artifacts() {
   # Explicit paths only: never sweep in unrelated working-tree edits.
   git add PERF_R4.json BENCH_IO_R4.jsonl KGE_RESULTS.jsonl KGE_RESULTS_CPU.jsonl checkpoints/*.ckpt 2>/dev/null
   git diff --cached --quiet || git commit -q -m "$1"
 }
 
+suite_stop
 echo "$(date -u +%H:%M:%S) === perf phase ==="
 timeout 3600 python -u scripts/perf_phase_r4.py 2>&1 | grep -v WARNING | tee /tmp/r4_perf_phase.log
 echo "$(date -u +%H:%M:%S) perf phase exit=${PIPESTATUS[0]}"
