@@ -179,3 +179,25 @@ def test_kge_results_table_renders(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "transe_wn18rr" in out and "0.533" in out and "+0.021" in out
     assert "0.031" not in out  # the superseded inverted run is not shown
+
+
+def test_visualise_detections_overlay(synth, tmp_path):
+    """Smoke the detection-cache overlay tool (reference:
+    hicodet/detections/visualise.py) end-to-end on synthetic data."""
+    from PIL import Image
+
+    from skghoi_tpu.tools.visualise_detections import main
+
+    root, _ = synth
+    out = tmp_path / "overlay.jpg"
+    main([
+        "--data-root", root,
+        "--detection-root", os.path.join(root, "detections_test2015"),
+        "--partition", "test2015",
+        "--image-idx", "1",
+        "--out-file", str(out),
+        "--box-score-thresh", "0.1",
+        "--cpu",
+    ])
+    img = Image.open(out)
+    assert img.size[0] > 0 and img.size[1] > 0
