@@ -146,6 +146,18 @@ def main():
                   "--allow-cpu to bench on host CPU instead", file=sys.stderr)
             sys.exit(2)
 
+    # Driver gate: pause registered builder background jobs for the duration
+    # (round-4 lesson: hedge jobs starved a gate's XLA compile past timeout).
+    import contextlib
+
+    from skghoi_tpu.utils.gate_guard import gate_window
+
+    ctx = contextlib.ExitStack()
+    ctx.enter_context(gate_window(lease_seconds=1800))
+    import atexit
+
+    atexit.register(ctx.close)
+
     if "--train" in sys.argv:
         images_per_sec = measure_train()
         print(

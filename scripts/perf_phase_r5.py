@@ -1,0 +1,137 @@
+"""Round-5 TPU perf phase, most-important-first so a timeout loses the least.
+
+Order (VERDICT round-4 "Next round" #1): the post-freeze measurements that
+round 3 could not capture because the tunnel was down:
+
+  1. bench inference at the scoreboard geometry (bs8, 832x1344, bf16)
+  2. bench training bs8 (first measured number for frozen_stages=1)
+  3. perf_report at bs8 (honest MFU for both paths)
+  4. train bs16 + inference bs16/32 batch sweep
+  5. stem conv-vs-im2col A/B (same-session serialized, the only honest way
+     per the tunnel-drift rule)
+
+Results go to stdout and /tmp/r5_perf.json so they can be committed into
+PERF.md the moment they exist.  Self-limits wall time between sections
+(never SIGTERM a live TPU process: it can wedge the tunnel).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+_T0 = time.time()
+_BUDGET = 3300  # shell backstop is 3600; keep it a never-fires backstop
+RESULTS = {}
+
+
+def over_budget(section):
+    left = _BUDGET - (time.time() - _T0)
+    if left < 0:
+        print(f"PERF_PHASE: skipping {section} (budget exhausted)", flush=True)
+        return True
+    print(f"PERF_PHASE: {section} ({left:.0f}s left)", flush=True)
+    return False
+
+
+def flush_results():
+    # Write into the repo as well: if the round ends unattended, the driver's
+    # end-of-round commit captures the numbers (a /tmp-only artifact is lost).
+    for path in ("/tmp/r5_perf.json", "/root/repo/PERF_R5.json"):
+        with open(path, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+
+
+import bench
+
+# 1+2: the scoreboard numbers first.  Section wall time is recorded per
+# measurement — the first call of each kind is dominated by the jit compile,
+# so wall minus steady-state time is the committed time-to-first-step record
+# (VERDICT r4 #7: compile cost is now a correctness-gate risk, track it).
+for kind, bs in (("infer", 8), ("train", 8)):
+    if over_budget(f"{kind} bs{bs}"):
+        break
+    _s = time.time()
+    try:
+        if kind == "infer":
+            v = bench.measure(batch_size=bs)
+            RESULTS[f"infer_bs{bs}"] = v
+            print(f"BENCH_INFER bs={bs}: median {v['median']:.2f} img/s "
+                  f"(min {v['min']:.2f} max {v['max']:.2f})", flush=True)
+        else:
+            t = bench.measure_train(batch_size=bs)
+            RESULTS[f"train_bs{bs}"] = t
+            print(f"BENCH_TRAIN bs={bs}: {t:.2f} img/s", flush=True)
+        RESULTS[f"wall_{kind}_bs{bs}_s"] = round(time.time() - _s, 1)
+        print(f"WALL {kind} bs{bs}: {RESULTS[f'wall_{kind}_bs{bs}_s']}s "
+              "(first call includes the TPU jit compile)", flush=True)
+    except Exception as e:
+        print(f"BENCH {kind} bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 3: MFU for both paths.
+if not over_budget("perf_report bs8"):
+    try:
+        from skghoi_tpu.tools import perf_report
+
+        rep = perf_report.report(batch_size=8)
+        RESULTS["perf_report_bs8"] = rep
+        print("PERF_REPORT:", json.dumps(rep), flush=True)
+    except Exception as e:
+        print(f"PERF_REPORT FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 4: batch sweep; remat from layer2 on keeps the bigger batches in HBM.
+for bs, remat in ((16, 0), (16, 2), (32, 2)):
+    if over_budget(f"train bs{bs} remat{remat}"):
+        break
+    try:
+        t = bench.measure_train(batch_size=bs, remat_stages=remat)
+        RESULTS[f"train_bs{bs}_remat{remat}"] = t
+        print(f"BENCH_TRAIN bs={bs} remat={remat}: {t:.2f} img/s", flush=True)
+    except Exception as e:
+        print(f"BENCH_TRAIN bs={bs} remat={remat} FAILED: "
+              f"{type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+for bs in (16, 32):
+    if over_budget(f"infer bs{bs}"):
+        break
+    try:
+        v = bench.measure(batch_size=bs)
+        RESULTS[f"infer_bs{bs}"] = v
+        print(f"BENCH_INFER bs={bs}: median {v['median']:.2f} img/s "
+              f"(min {v['min']:.2f} max {v['max']:.2f})", flush=True)
+    except Exception as e:
+        print(f"BENCH_INFER bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+# 5: stem impl A/B (equivalence proven in tests/test_stem_s2d.py).
+if not over_budget("stem A/B"):
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from skghoi_tpu.models.resnet import StemConv
+        from skghoi_tpu.tools.stage_profile import _chain_time
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (8, 832, 1344, 3)), jnp.bfloat16)
+        for impl in ("conv", "im2col"):
+            stem = StemConv(dtype=jnp.bfloat16, impl=impl)
+            variables = jax.jit(stem.init)(jax.random.PRNGKey(0), x)
+
+            def step(carry, xx, v=variables, s=stem):
+                y = s.apply(v, xx + carry.astype(xx.dtype) * 1e-20)
+                return jnp.sum(y).astype(jnp.float32)
+
+            t = _chain_time(step, jnp.asarray(0.0, jnp.float32), 10, consts=(x,))
+            RESULTS[f"stem_{impl}_ms"] = t * 1e3
+            print(f"STEM_AB impl={impl}: {t * 1e3:.3f} ms fwd "
+                  f"(bs8 832x1344 bf16)", flush=True)
+    except Exception as e:
+        print(f"STEM_AB FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
+print(f"PERF_PHASE: done in {time.time() - _T0:.0f}s", flush=True)

@@ -102,6 +102,22 @@ class DataFactory:
             )
             self.human_idx = C.VCOCO_HUMAN_IDX
 
+        if device_resize:
+            # Fail at construction, not mid-epoch: a single oversize image
+            # would otherwise raise in __getitem__ hours into a run.  The
+            # annotation's size metadata makes this a metadata scan — no
+            # decoding (ADVICE r4: the default raw canvas is an unverified
+            # bound for real HICO-DET/V-COCO images).
+            for i in range(len(self.dataset)):
+                w, h = self.dataset.image_size(i)
+                rc = canvas_for(h, w, self.raw_canvas_landscape, self.raw_canvas_portrait)
+                if h > rc[0] or w > rc[1]:
+                    raise ValueError(
+                        f"device_resize: image {i} ({h}x{w}) exceeds raw canvas "
+                        f"{rc}; raise raw_canvas_landscape/portrait to cover the "
+                        "dataset's max dimensions"
+                    )
+
         self.detection_root = detection_root
         rng = np.random.default_rng(seed)
         self._flip = rng.integers(0, 2, len(self.dataset)).astype(bool) if flip else np.zeros(

@@ -49,12 +49,23 @@ def _conv_w(t) -> np.ndarray:
     return np.transpose(np.asarray(t), (2, 3, 1, 0))
 
 
-def load_torch_resnet50(state_dict: Dict[str, Any], prefix: str = "") -> Tuple[dict, dict]:
+def _stack_trees(trees):
+    """Stack a list of identically-structured dicts leaf-wise on axis 0."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(lambda *leaves: np.stack(leaves), *trees)
+
+
+def load_torch_resnet50(
+    state_dict: Dict[str, Any], prefix: str = "", scan_blocks: bool = True
+) -> Tuple[dict, dict]:
     """Convert a torch resnet50 state dict into (params, batch_stats) subtrees
     matching :class:`ResNet50`'s naming.
 
     Accepts torchvision naming (``layer1.0.conv1.weight`` ...); pass
-    ``prefix='backbone.'`` for mmdet checkpoints.
+    ``prefix='backbone.'`` for mmdet checkpoints.  With ``scan_blocks``
+    (matching :class:`ResNet50`'s default) each stage's tail blocks are
+    stacked on a leading axis under ``layer{s}_rest`` for the scanned layout.
     """
 
     def g(name):
@@ -78,6 +89,7 @@ def load_torch_resnet50(state_dict: Dict[str, Any], prefix: str = "") -> Tuple[d
 
     stage_sizes = (3, 4, 6, 3)
     for stage, blocks in enumerate(stage_sizes):
+        tail_p, tail_s = [], []
         for block in range(blocks):
             tb = f"layer{stage + 1}.{block}"
             fb = f"layer{stage + 1}_block{block}"
@@ -87,8 +99,6 @@ def load_torch_resnet50(state_dict: Dict[str, Any], prefix: str = "") -> Tuple[d
                 sub[f"conv{i}"] = {"kernel": _conv_w(g(f"{tb}.conv{i}.weight"))}
             if prefix + f"{tb}.downsample.0.weight" in state_dict:
                 sub["downsample_conv"] = {"kernel": _conv_w(g(f"{tb}.downsample.0.weight"))}
-            params[fb] = sub
-            stats[fb] = sub_stats
             # BN blocks live beside the convs in the flax tree
             for i in (1, 2, 3):
                 bn_params = {
@@ -110,4 +120,13 @@ def load_torch_resnet50(state_dict: Dict[str, Any], prefix: str = "") -> Tuple[d
                     "mean": np.asarray(g(f"{tb}.downsample.1.running_mean")),
                     "var": np.asarray(g(f"{tb}.downsample.1.running_var")),
                 }
+            if scan_blocks and block > 0:
+                tail_p.append(sub)
+                tail_s.append(sub_stats)
+            else:
+                params[fb] = sub
+                stats[fb] = sub_stats
+        if tail_p:
+            params[f"layer{stage + 1}_rest"] = _stack_trees(tail_p)
+            stats[f"layer{stage + 1}_rest"] = _stack_trees(tail_s)
     return params, stats

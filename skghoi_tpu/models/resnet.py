@@ -153,6 +153,11 @@ class StemConv(nn.Module):
         )
 
 
+def _block_body(block: "Bottleneck", x: Array, _) -> Tuple[Array, None]:
+    """Scan body: one identity-shortcut bottleneck application."""
+    return block(x), None
+
+
 class ResNet50(nn.Module):
     """Returns the C2..C5 feature pyramid (strides 4, 8, 16, 32).
 
@@ -178,6 +183,14 @@ class ResNet50(nn.Module):
     # axis of the MFU campaign).  Parameter names are unchanged (nn.remat is
     # transparent), so checkpoints are interchangeable.
     remat_stages: int = 0
+    # Fold each stage's identical-shape tail blocks (everything after the
+    # stride/projection block 0) into one ``nn.scan`` — 12 of the 16
+    # bottlenecks compile as 4 scan bodies instead of 12 inlined copies,
+    # shrinking the train-step HLO and its XLA compile time (the driver's
+    # multi-chip dryrun budget) without changing the math.  Parameter layout
+    # changes: ``layer{s}_rest/conv1/kernel`` has a leading ``blocks-1``
+    # axis; ``load_torch_resnet50`` emits either layout.
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -193,13 +206,27 @@ class ResNet50(nn.Module):
         outputs = []
         widths = (64, 128, 256, 512)
         for stage, (blocks, width) in enumerate(zip(self.stage_sizes, widths)):
-            block_cls = Bottleneck
-            if self.remat_stages and stage + 1 >= self.remat_stages:
-                block_cls = nn.remat(Bottleneck)
-            for block in range(blocks):
-                strides = 2 if (block == 0 and stage > 0) else 1
-                x = block_cls(width, strides=strides, dtype=self.dtype,
-                              name=f"layer{stage + 1}_block{block}")(x)
+            use_remat = bool(self.remat_stages) and stage + 1 >= self.remat_stages
+            block_cls = nn.remat(Bottleneck) if use_remat else Bottleneck
+            x = block_cls(width, strides=2 if stage > 0 else 1, dtype=self.dtype,
+                          name=f"layer{stage + 1}_block0")(x)
+            if blocks > 1 and self.scan_blocks:
+                body = nn.remat(_block_body, prevent_cse=False) if use_remat else _block_body
+                scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0, "batch_stats": 0},
+                    split_rngs={"params": True},
+                    length=blocks - 1,
+                )
+                x, _ = scan(
+                    Bottleneck(width, strides=1, dtype=self.dtype,
+                               name=f"layer{stage + 1}_rest"),
+                    x, None,
+                )
+            else:
+                for block in range(1, blocks):
+                    x = block_cls(width, strides=1, dtype=self.dtype,
+                                  name=f"layer{stage + 1}_block{block}")(x)
             if self.frozen_stages >= stage + 1:
                 x = jax.lax.stop_gradient(x)
             outputs.append(x)

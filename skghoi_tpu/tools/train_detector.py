@@ -12,6 +12,31 @@ import argparse
 import os
 
 import jax
+import numpy as np
+
+
+def _first_occurrence_mask(boxes, labels, valid):
+    """Mask keeping only the first occurrence of each (label, box) per image.
+
+    ``boxes`` [B,N,4], ``labels`` [B,N], ``valid`` [B,N] -> bool [B,N].
+    Coordinates are rounded to 0.1 px so float jitter can't split a
+    duplicate.  Used to deduplicate HOI-pair-derived GT instances before
+    Hungarian matching (the same person participates in many pairs).
+    """
+    rounded = np.round(np.asarray(boxes, np.float64), 1)
+    labels = np.asarray(labels)
+    valid = np.asarray(valid, bool)
+    keep = np.zeros(valid.shape, bool)
+    for i in range(valid.shape[0]):
+        seen = set()
+        for j in range(valid.shape[1]):
+            if not valid[i, j]:
+                continue
+            key = (int(labels[i, j]), *rounded[i, j].tolist())
+            if key not in seen:
+                seen.add(key)
+                keep[i, j] = True
+    return keep
 
 
 def build_argparser():
@@ -109,6 +134,15 @@ def train_adamixer(args, loader):
                 [jnp.full_like(t.object, C.HICO_HUMAN_IDX), t.object], axis=1
             )
             gt_valid = jnp.concatenate([t.valid, t.valid], axis=1)
+            # HICO-DET repeats the same person/object box across HOI pairs;
+            # set-prediction training needs unique instances (only one query
+            # can own each real box), so duplicates are masked invalid before
+            # matching — shape-static, host-side like the Hungarian step.
+            gt_valid = jnp.asarray(
+                _first_occurrence_mask(
+                    np.asarray(gt_boxes), np.asarray(gt_labels), np.asarray(gt_valid)
+                )
+            )
             hw = (float(hoi_batch.images.shape[1]), float(hoi_batch.images.shape[2]))
             out = fwd(params, extra, hoi_batch.images)
             assignments = jnp.asarray(

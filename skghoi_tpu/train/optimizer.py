@@ -42,7 +42,9 @@ def _label_params(params, frozen_stages: int = 1) -> dict:
         keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
         if any(k in _FROZEN_BN for k in keys):
             return "frozen"
-        if any(k.split("_block")[0] in frozen_prefixes for k in keys):
+        # Stage key is 'layer{i}_block{b}' (unrolled) or 'layer{i}_rest'
+        # (scanned tail blocks) — strip either suffix before matching.
+        if any(k.split("_block")[0].split("_rest")[0] in frozen_prefixes for k in keys):
             return "frozen"
         return "detector" if "detector" in keys else "head"
 

@@ -24,6 +24,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache: the fast suite's wall time is dominated
+# by recompiles of the same programs session after session; the cache (works
+# on CPU in jax 0.9, verified) makes repeat sessions load executables
+# instead.  Shared with the driver gates (__graft_entry__) on purpose.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pytest  # noqa: E402
 
 # Marker map (one place, no per-file edits): the suite outgrew a single

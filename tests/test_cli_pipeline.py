@@ -142,3 +142,27 @@ def test_train_hicodet_device_resize(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Epoch" in out and "Training complete." in out
     assert glob.glob(os.path.join(ckpt_dir, "ckpt_*"))
+
+
+def test_first_occurrence_mask_dedups_repeated_instances():
+    """HOI-pair-derived GT repeats the same person box across pairs; only the
+    first occurrence may stay valid for set-prediction matching (ADVICE r4)."""
+    import numpy as np
+
+    from skghoi_tpu.tools.train_detector import _first_occurrence_mask
+
+    person = [10.0, 10.0, 50.0, 90.0]
+    cup = [60.0, 40.0, 80.0, 60.0]
+    chair = [5.0, 5.0, 30.0, 30.0]
+    boxes = np.asarray([[person, person, cup, person, chair, chair]])
+    labels = np.asarray([[49, 49, 41, 49, 56, 17]])
+    valid = np.asarray([[True, True, True, True, False, True]])
+    keep = _first_occurrence_mask(boxes, labels, valid)
+    # person kept once; cup kept; chair idx4 invalid so idx5 (different label
+    # 17 vs 56 anyway) is its own first occurrence; jittered duplicate below.
+    np.testing.assert_array_equal(keep, [[True, False, True, False, False, True]])
+
+    jitter = np.asarray([[person, list(np.asarray(person) + 0.02)]])
+    keep2 = _first_occurrence_mask(jitter, np.asarray([[49, 49]]),
+                                   np.ones((1, 2), bool))
+    np.testing.assert_array_equal(keep2, [[True, False]])

@@ -89,6 +89,25 @@ def test_raw_factory_matches_host_factory(tmp_path):
                                    err_msg=f"sample {i}")
 
 
+def test_raw_factory_rejects_undersized_canvas_at_construction(tmp_path):
+    """An image larger than the raw canvas must fail at DataFactory
+    construction (metadata scan), not mid-epoch at first encounter
+    (ADVICE r4: wasted long runs)."""
+    import pytest
+
+    from skghoi_tpu.data.factory import DataFactory
+    from skghoi_tpu.data.synthetic import make_synthetic_hicodet
+
+    root = str(tmp_path / "synth")
+    make_synthetic_hicodet(root, "train2015", num_images=2, image_size=(120, 160))
+    det = f"{root}/detections_train2015"
+    with pytest.raises(ValueError, match="exceeds raw canvas"):
+        DataFactory("hicodet", "train2015", root, det, device_resize=True,
+                    raw_canvas_landscape=(96, 128), raw_canvas_portrait=(128, 96),
+                    min_size=64, max_size=107, canvas_landscape=(64, 96),
+                    canvas_portrait=(96, 64))
+
+
 def test_device_resize_sharded_matches_unsharded():
     """The jitted preprocess must compose with the DP mesh: a batch sharded
     over 8 virtual devices produces exactly the single-device result."""
