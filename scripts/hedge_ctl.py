@@ -115,6 +115,12 @@ def wait_for_adopted(pid: int, deadline: float) -> None:
     """Wait (without signaling) for a pre-existing run we did not spawn."""
     gate_guard.register_hedge_pid(pid)
     while gate_guard._alive(pid) and time.time() < deadline:
+        # A SIGKILLed gate can leave the adopted run stopped; resume it once
+        # the lease lapses (our own children get the same treatment in
+        # babysit()).
+        if not gate_guard.lease_active() and _stopped(pid):
+            log(f"lease expired; resuming adopted pid {pid}")
+            gate_guard._signal_all(gate_guard._with_descendants([pid]), signal.SIGCONT)
         time.sleep(30)
     log(f"adopted pid {pid} finished (or deadline)")
     git_commit_artifacts(
@@ -124,7 +130,9 @@ def wait_for_adopted(pid: int, deadline: float) -> None:
 
 
 def run_item(item: str, deadline: float) -> None:
-    example, bench, sec_per_epoch, eval_budget, cap = item.split(":")
+    parts = item.split(":")
+    example, bench, sec_per_epoch, eval_budget, cap = parts[:5]
+    extra = parts[5].split(",") if len(parts) > 5 and parts[5] else []
     sec_per_epoch, eval_budget, cap = float(sec_per_epoch), float(eval_budget), int(cap)
     left = deadline - time.time()
     epochs = min(cap, int((left - eval_budget) / sec_per_epoch))
@@ -137,7 +145,7 @@ def run_item(item: str, deadline: float) -> None:
         "--data", f"{BENCH_ROOT}/{bench}", "--example", example, "--cpu",
         "--epochs", str(epochs), "--json", "--json-out", "KGE_RESULTS_CPU.jsonl",
         "--checkpoint", ckpt,
-    ]
+    ] + extra
     log(f"START {example} epochs={epochs} ({left:.0f}s left)")
     logfile = open(f"/tmp/r5_hedge_{example}.log", "w")
     child = subprocess.Popen(cmd, cwd=REPO, stdout=logfile, stderr=subprocess.STDOUT)
