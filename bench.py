@@ -30,7 +30,7 @@ import time
 
 
 def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
-            repeats: int = 3) -> dict:
+            repeats: int = 3, scan_blocks: bool = True) -> dict:
     """Returns {"median": img/s, "min": ..., "max": ...} over ``repeats``
     independent chained measurements (round-2 lesson: the shared tunnel
     drifts several percent between sessions; a single measurement lost 15%
@@ -44,7 +44,7 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
     from __graft_entry__ import _make_batch, _verb_mask
     from skghoi_tpu.models import SpatiallyConditionedGraph
 
-    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16)
+    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16, scan_blocks=scan_blocks)
     batch = _make_batch(batch_size, canvas)
     ovm = _verb_mask()
     variables = jax.jit(lambda r, b: model.init(r, b, ovm, training=False))(
@@ -81,7 +81,7 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
 
 
 def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6,
-                  remat_stages: int | None = None) -> float:
+                  remat_stages: int | None = None, scan_blocks: bool = True) -> float:
     """Steady-state training images/second (fwd + bwd + AdamW) on one chip.
 
     ``remat_stages`` (or env ``SKGHOI_BENCH_REMAT``) rematerializes backbone
@@ -100,7 +100,8 @@ def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6,
 
     if remat_stages is None:
         remat_stages = int(os.environ.get("SKGHOI_BENCH_REMAT", "0"))
-    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16, remat_stages=remat_stages)
+    model = SpatiallyConditionedGraph(dtype=jnp.bfloat16, remat_stages=remat_stages,
+                                      scan_blocks=scan_blocks)
     batch = _make_batch(batch_size, canvas, with_targets=True)
     ovm = _verb_mask()
     variables = jax.jit(lambda r, b: model.init(r, b, ovm, training=True))(

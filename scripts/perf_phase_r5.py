@@ -106,6 +106,20 @@ for bs in (16, 32):
         print(f"BENCH_INFER bs={bs} FAILED: {type(e).__name__}: {e}", flush=True)
     flush_results()
 
+# 4b: scanned-vs-unrolled backbone tails A/B — scan_blocks=True is the new
+# default (compile-time lever); confirm it does not tax steady-state TPU
+# step time (same-session serialized, the only honest comparison).
+if not over_budget("scan A/B"):
+    try:
+        for scan in (True, False):
+            v = bench.measure(batch_size=8, scan_blocks=scan)
+            RESULTS[f"infer_bs8_scan{int(scan)}"] = v
+            print(f"SCAN_AB scan_blocks={scan}: median {v['median']:.2f} img/s",
+                  flush=True)
+    except Exception as e:
+        print(f"SCAN_AB FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
 # 5: stem impl A/B (equivalence proven in tests/test_stem_s2d.py).
 if not over_budget("stem A/B"):
     try:

@@ -34,10 +34,12 @@ class DetectorBackbone(nn.Module):
     dtype: Any = jnp.float32
     frozen_stages: int = -1
     remat_stages: int = 0
+    scan_blocks: bool = True
 
     def setup(self):
         self.backbone = ResNet50(dtype=self.dtype, frozen_stages=self.frozen_stages,
-                                 remat_stages=self.remat_stages)
+                                 remat_stages=self.remat_stages,
+                                 scan_blocks=self.scan_blocks)
         self.neck = FPN(dtype=self.dtype)
 
     def __call__(self, images: Array) -> Tuple[Array, ...]:

@@ -54,10 +54,14 @@ class SpatiallyConditionedGraph(nn.Module):
     # Rematerialize backbone bottlenecks from this 1-based stage on (0 = off);
     # trades recompute FLOPs for activation HBM to unlock larger train batches.
     remat_stages: int = 0
+    # Fold same-shape backbone tail blocks into nn.scan (compile-time lever,
+    # see models/resnet.py; math-identical, A/B-able on the step time).
+    scan_blocks: bool = True
 
     def setup(self):
         self.detector = DetectorBackbone(dtype=self.dtype, frozen_stages=self.frozen_stages,
-                                         remat_stages=self.remat_stages)
+                                         remat_stages=self.remat_stages,
+                                         scan_blocks=self.scan_blocks)
         self.interaction_head = InteractionHead(
             num_cls=self.num_classes,
             human_idx=self.human_idx,

@@ -141,17 +141,25 @@ def main(argv=None):
         print_interval=10_000, cache_dir=os.path.join(root, "ckpt_bench"),
     )
     train_rates = []
+    epoch_walls = []
     for ep in range(args.epochs):
         t0 = time.time()
         engine.run(1)
-        train_rates.append(n_img / (time.time() - t0))
+        epoch_walls.append(time.time() - t0)
+        train_rates.append(n_img / epoch_walls[-1])
     steady = train_rates[1:] or train_rates
+    steady_wall = float(np.median(epoch_walls[1:] or epoch_walls))
     print(json.dumps({
         "section": "train_e2e", "platform": jax.default_backend(),
         "num_images": n_img, "batch": args.batch_size,
         "num_workers": args.num_workers, "small": args.small,
         "epoch_imgs_per_s": [round(r, 2) for r in train_rates],
         "imgs_per_s": round(float(np.median(steady)), 2),
+        # First epoch pays the train-step jit compile; the difference vs a
+        # steady epoch is the committed time-to-first-step record
+        # (VERDICT r4 #7: track compile cost, it gates driver budgets).
+        "first_epoch_seconds": round(epoch_walls[0], 1),
+        "compile_overhead_seconds": round(epoch_walls[0] - steady_wall, 1),
     }), flush=True)
 
 

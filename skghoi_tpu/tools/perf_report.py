@@ -80,7 +80,9 @@ def report(batch_size: int = 8, canvas=(832, 1344), include_train: bool = True,
     )
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, ovm, training=False).scores)
+    _c0 = time.perf_counter()
     compiled = fwd.lower(variables, batch).compile()  # one compile, reused for timing
+    compile_infer_s = time.perf_counter() - _c0
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, list) else cost
     infer_flops = float(cost.get("flops", 0.0))
@@ -90,6 +92,9 @@ def report(batch_size: int = 8, canvas=(832, 1344), include_train: bool = True,
         "images_per_sec": batch_size / t_infer,
         "tflops_per_step": infer_flops / 1e12,
         "mfu": infer_flops / t_infer / peak,
+        # Time-to-first-step matters operationally (driver gates, test
+        # sessions): the XLA compile of this exact program on this host.
+        "compile_seconds": round(compile_infer_s, 1),
     }
 
     if include_train:
@@ -100,7 +105,9 @@ def report(batch_size: int = 8, canvas=(832, 1344), include_train: bool = True,
         extra = {k: v for k, v in variables.items() if k != "params"}
         opt_state = jax.jit(tx.init)(params)
         rng = jax.random.PRNGKey(1)
+        _c1 = time.perf_counter()
         compiled_t = step.lower(params, extra, opt_state, train_batch, rng).compile()
+        compile_train_s = time.perf_counter() - _c1
         cost_t = compiled_t.cost_analysis()
         cost_t = cost_t[0] if isinstance(cost_t, list) else cost_t
         train_flops = float(cost_t.get("flops", 0.0))
@@ -119,6 +126,7 @@ def report(batch_size: int = 8, canvas=(832, 1344), include_train: bool = True,
             "images_per_sec": batch_size / t_train,
             "tflops_per_step": train_flops / 1e12,
             "mfu": train_flops / t_train / peak,
+            "compile_seconds": round(compile_train_s, 1),
         }
 
     if trace_dir:
