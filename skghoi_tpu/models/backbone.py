@@ -58,6 +58,55 @@ def _stack_trees(trees):
     return jtu.tree_map(lambda *leaves: np.stack(leaves), *trees)
 
 
+def convert_resnet_block_layout(tree, to_scan: bool = True):
+    """Convert any pytree between the unrolled (``layer{s}_block{b}``) and
+    scanned (``layer{s}_rest`` stacked on axis 0) ResNet parameter layouts.
+
+    Walks nested dicts, so it works on whole checkpoints (params, optimizer
+    mu/nu, batch_stats) regardless of prefix depth — round-1..4 checkpoints
+    were saved unrolled; ``ResNet50(scan_blocks=True)`` (the new default)
+    expects the stacked layout.  Non-matching subtrees pass through
+    untouched; the conversion round-trips exactly.
+    """
+    import re
+
+    import jax.tree_util as jtu
+
+    if isinstance(tree, (list, tuple)) and not hasattr(tree, "_fields"):
+        return type(tree)(convert_resnet_block_layout(v, to_scan) for v in tree)
+    if hasattr(tree, "_fields"):  # namedtuple (e.g. optax states)
+        return type(tree)(*(convert_resnet_block_layout(v, to_scan) for v in tree))
+    if not isinstance(tree, dict):
+        return tree
+    out = {k: convert_resnet_block_layout(v, to_scan) for k, v in tree.items()}
+    if to_scan:
+        stages: Dict[str, list] = {}
+        for k in out:
+            m = re.fullmatch(r"(layer\d+)_block(\d+)", k)
+            if m and int(m.group(2)) >= 1:
+                stages.setdefault(m.group(1), []).append((int(m.group(2)), k))
+        for stage, items in stages.items():
+            items.sort()
+            if [i for i, _ in items] != list(range(1, len(items) + 1)):
+                continue  # non-contiguous tail: not a block group, leave it
+            if f"{stage}_rest" in out:
+                continue
+            subs = [out.pop(k) for _, k in items]
+            out[f"{stage}_rest"] = _stack_trees(subs)
+    else:
+        for k in list(out):
+            m = re.fullmatch(r"(layer\d+)_rest", k)
+            if not m:
+                continue
+            stacked = out.pop(k)
+            n = int(np.asarray(jtu.tree_leaves(stacked)[0]).shape[0])
+            for i in range(n):
+                out[f"{m.group(1)}_block{i + 1}"] = jtu.tree_map(
+                    lambda x, i=i: np.asarray(x)[i], stacked
+                )
+    return out
+
+
 def load_torch_resnet50(
     state_dict: Dict[str, Any], prefix: str = "", scan_blocks: bool = True
 ) -> Tuple[dict, dict]:
