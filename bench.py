@@ -80,6 +80,55 @@ def measure(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
     }
 
 
+def measure_stage1(batch_size: int = 8, canvas=(832, 1344), iters: int = 10,
+                   repeats: int = 3) -> dict:
+    """Stage-1 (DETR-R50) inference throughput — the reference's only
+    published speed numbers are detector inference
+    (``hicodet/detections/README.md:18``: DETR-R50 0.036 s/img = 27.8 img/s
+    on GPU), so this is the direct apples-to-apples comparison.  Weights are
+    random (no checkpoint on this box) — identical FLOPs/memory traffic, so
+    throughput is unaffected.  Same chained-``fori_loop`` method as
+    :func:`measure`."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skghoi_tpu.detect.detr import DETR
+
+    rng = np.random.default_rng(0)
+    h, w = canvas
+    images = jnp.asarray(rng.uniform(-1, 1, (batch_size, h, w, 3)), jnp.float32)
+    sizes = jnp.asarray(np.tile([[h, w]], (batch_size, 1)), jnp.float32)
+    model = DETR(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, sizes)
+
+    @jax.jit
+    def chain(variables, images, n):
+        def body(i, carry):
+            out = model.apply(variables, images + carry * 1e-12, sizes)
+            return jnp.sum(out.scores).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(chain(variables, images, 1))  # compile + warmup
+    samples = []
+    for _ in range(repeats):
+        t1 = time.perf_counter()
+        float(chain(variables, images, 1))
+        t_one = time.perf_counter() - t1
+        t0 = time.perf_counter()
+        float(chain(variables, images, iters + 1))
+        per_iter = (time.perf_counter() - t0 - t_one) / iters
+        samples.append(batch_size / per_iter)
+    return {
+        "median": statistics.median(samples),
+        "min": min(samples),
+        "max": max(samples),
+    }
+
+
 def measure_train(batch_size: int = 8, canvas=(832, 1344), iters: int = 6,
                   remat_stages: int | None = None, scan_blocks: bool = True) -> float:
     """Steady-state training images/second (fwd + bwd + AdamW) on one chip.
@@ -158,6 +207,25 @@ def main():
     import atexit
 
     atexit.register(ctx.close)
+
+    if "--stage1" in sys.argv:
+        stats = measure_stage1()
+        print(
+            json.dumps(
+                {
+                    "metric": "detr_r50_inference_images_per_sec",
+                    "value": round(stats["median"], 2),
+                    "unit": "img/s (832x1344, bf16, batch 8, single chip; "
+                            "median of 3 chained runs)",
+                    # The reference's own published figure for this exact
+                    # model: 0.036 s/img (hicodet/detections/README.md:18).
+                    "vs_baseline": round(stats["median"] / 27.8, 3),
+                    "spread": {"min": round(stats["min"], 2),
+                               "max": round(stats["max"], 2)},
+                }
+            )
+        )
+        return
 
     if "--train" in sys.argv:
         images_per_sec = measure_train()

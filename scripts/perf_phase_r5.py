@@ -120,6 +120,19 @@ if not over_budget("scan A/B"):
         print(f"SCAN_AB FAILED: {type(e).__name__}: {e}", flush=True)
     flush_results()
 
+# 4c: stage-1 DETR-R50 inference — the reference's only published speed
+# figure (0.036 s/img GPU, hicodet/detections/README.md:18) measured
+# apples-to-apples on this chip.
+if not over_budget("stage1 DETR bs8"):
+    try:
+        v = bench.measure_stage1(batch_size=8)
+        RESULTS["detr_infer_bs8"] = v
+        print(f"STAGE1_DETR bs=8: median {v['median']:.2f} img/s "
+              f"(ref GPU 27.8; ratio {v['median']/27.8:.2f}x)", flush=True)
+    except Exception as e:
+        print(f"STAGE1_DETR FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
 # 5: stem impl A/B (equivalence proven in tests/test_stem_s2d.py).
 if not over_budget("stem A/B"):
     try:
