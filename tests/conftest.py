@@ -53,6 +53,7 @@ _SLOW_MODULES = {
     "test_cli_pipeline",       # chained argparse mains over a tmpdir
     "test_adamixer",           # decoder compile + oracle + overfit
     "test_parity_degenerate",  # full-model twin parity on edge cases
+    "test_bench_smoke",        # every bench.py measurement path compiles
 }
 _MESH_MODULES = {"test_multichip", "test_multichip_depth"}
 
