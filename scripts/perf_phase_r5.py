@@ -133,6 +133,21 @@ if not over_budget("stage1 DETR bs8"):
         print(f"STAGE1_DETR FAILED: {type(e).__name__}: {e}", flush=True)
     flush_results()
 
+# 4d: per-stage timing + FLOPs — if the MFU above lands under the 30%
+# target, this is the committed evidence naming the binding stage (VERDICT
+# r4 #6: "30% or a trace showing why not").  backbone+stages covers ~90% of
+# the step FLOPs; update/head were profiled in round 3 and are sub-ms.
+if not over_budget("stage profile"):
+    try:
+        from skghoi_tpu.tools import stage_profile
+
+        prof = stage_profile.profile(batch=8, parts=("backbone", "stages"))
+        RESULTS["stage_profile_bs8"] = prof
+        print("STAGE_PROFILE:", json.dumps(prof), flush=True)
+    except Exception as e:
+        print(f"STAGE_PROFILE FAILED: {type(e).__name__}: {e}", flush=True)
+    flush_results()
+
 # 5: stem impl A/B (equivalence proven in tests/test_stem_s2d.py).
 if not over_budget("stem A/B"):
     try:
